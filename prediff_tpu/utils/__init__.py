@@ -1,0 +1,2 @@
+from .registry import Registry
+from .layout import parse_layout_shape, layout_to_in_out_slice

@@ -1,0 +1,36 @@
+"""Test configuration: force an 8-virtual-device CPU backend BEFORE jax import
+so sharding/multi-chip tests run anywhere (SURVEY.md §4: the reference has no
+multi-device simulation; we test the mesh path on faked host devices)."""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Some environments ship a sitecustomize that registers an accelerator plugin
+# and force-overrides jax_platforms after import; pin it back to CPU here.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_SRC)
+
+
+def import_reference():
+    """Make the PyTorch reference importable for A/B parity tests only.
+
+    The reference is never imported by the framework itself — tests compare
+    numerics against it when it happens to be present on this machine.
+    """
+    if REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, REFERENCE_SRC)
