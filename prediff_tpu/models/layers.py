@@ -1,0 +1,303 @@
+"""Neural building blocks (flax.linen), channel-last NTHWC throughout.
+
+Reference parity:
+  PosEmbed               cuboid_transformer.py:18
+  PositionwiseFFN        cuboid_transformer.py:93
+  PatchMerging3D         cuboid_transformer.py:211
+  Upsample3DLayer        cuboid_transformer.py:299
+  TimeEmbedLayer         time_embed.py:9
+  TimeEmbedResBlock      time_embed.py:31 (operates NCTHW there; NTHWC here)
+  timestep_embedding     models/utils.py:68
+
+Flax submodule names mirror the torch attribute paths (with list indices
+merged, e.g. torch ``layer.0`` -> flax ``layer_0``) so checkpoint conversion
+is mechanical (see prediff_tpu/utils/convert.py).
+"""
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .init import linear_init, conv_init, embed_init
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embeddings: (B,) -> (B, dim); cos first (ref convention)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+def get_activation(act: Optional[str]):
+    if act is None or act == "identity":
+        return lambda x: x
+    table = {
+        "leaky": lambda x: jax.nn.leaky_relu(x, negative_slope=0.1),
+        "elu": jax.nn.elu,
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "relu": jax.nn.relu,
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "softrelu": jax.nn.softplus,
+        "softplus": jax.nn.softplus,
+        "softsign": jax.nn.soft_sign,
+        "silu": jax.nn.silu,
+        "swish": jax.nn.silu,
+    }
+    if act not in table:
+        raise NotImplementedError(f"activation '{act}'")
+    return table[act]
+
+
+def nearest_resize_2d(x: jnp.ndarray, H_new: int, W_new: int) -> jnp.ndarray:
+    """Nearest-neighbor resize over H, W of (..., H, W, C); torch index math."""
+    H, W = x.shape[-3], x.shape[-2]
+    h_idx = (np.arange(H_new) * H) // H_new
+    w_idx = (np.arange(W_new) * W) // W_new
+    return x[..., h_idx, :, :][..., w_idx, :]
+
+
+class PosEmbed(nn.Module):
+    """Learned absolute T/H/W position embeddings added to (B,T,H,W,C)."""
+
+    embed_dim: int
+    maxT: int
+    maxH: int
+    maxW: int
+    typ: str = "t+h+w"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.typ in ("t+h+w", "t+hw")
+        _, T, H, W, _ = x.shape
+        t_idx = jnp.arange(T)
+        if self.typ == "t+h+w":
+            t_emb = nn.Embed(self.maxT, self.embed_dim, name="T_embed",
+                             embedding_init=embed_init())(t_idx)
+            h_emb = nn.Embed(self.maxH, self.embed_dim, name="H_embed",
+                             embedding_init=embed_init())(jnp.arange(H))
+            w_emb = nn.Embed(self.maxW, self.embed_dim, name="W_embed",
+                             embedding_init=embed_init())(jnp.arange(W))
+            return (
+                x
+                + t_emb.reshape(T, 1, 1, self.embed_dim)
+                + h_emb.reshape(1, H, 1, self.embed_dim)
+                + w_emb.reshape(1, 1, W, self.embed_dim)
+            )
+        else:
+            t_emb = nn.Embed(self.maxT, self.embed_dim, name="T_embed",
+                             embedding_init=embed_init())(t_idx)
+            spatial_idx = jnp.arange(H)[:, None] * self.maxW + jnp.arange(W)
+            hw_emb = nn.Embed(self.maxH * self.maxW, self.embed_dim, name="HW_embed",
+                              embedding_init=embed_init())(spatial_idx)
+            return x + t_emb.reshape(T, 1, 1, self.embed_dim) + hw_emb
+
+
+class PositionwiseFFN(nn.Module):
+    """Transformer FFN with optional gating and pre/post LayerNorm."""
+
+    units: int = 512
+    hidden_size: int = 2048
+    activation_dropout: float = 0.0
+    dropout: float = 0.1
+    gated_proj: bool = False
+    activation: str = "relu"
+    normalization: str = "layer_norm"
+    layer_norm_eps: float = 1e-5
+    pre_norm: bool = False
+    linear_init_mode: str = "0"
+    ffn2_linear_init_mode: str = "2"
+
+    @nn.compact
+    def __call__(self, data: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        act = get_activation(self.activation)
+        residual = data
+        norm = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layer_norm")
+        if self.pre_norm:
+            data = norm(data)
+        ffn_1 = nn.Dense(self.hidden_size, name="ffn_1",
+                         kernel_init=linear_init(self.linear_init_mode))
+        if self.gated_proj:
+            gate = nn.Dense(self.hidden_size, name="ffn_1_gate",
+                            kernel_init=linear_init(self.linear_init_mode))
+            out = act(gate(data)) * ffn_1(data)
+        else:
+            out = act(ffn_1(data))
+        out = nn.Dropout(self.activation_dropout)(out, deterministic=deterministic)
+        out = nn.Dense(self.units, name="ffn_2",
+                       kernel_init=linear_init(self.ffn2_linear_init_mode))(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = out + residual
+        if not self.pre_norm:
+            out = norm(out)
+        return out
+
+
+class PatchMerging3D(nn.Module):
+    """3-D patch merge: fold a (dT,dH,dW) neighborhood into channels, then
+    LayerNorm + Linear to ``out_dim``.  This is the UNet downsample."""
+
+    out_dim: int
+    downsample: Tuple[int, int, int] = (1, 2, 2)
+    padding_type: str = "nearest"
+    linear_init_mode: str = "0"
+
+    @staticmethod
+    def get_out_shape(data_shape, downsample, out_dim):
+        T, H, W, _ = data_shape
+        pad_t = (downsample[0] - T % downsample[0]) % downsample[0]
+        pad_h = (downsample[1] - H % downsample[1]) % downsample[1]
+        pad_w = (downsample[2] - W % downsample[2]) % downsample[2]
+        return (
+            (T + pad_t) // downsample[0],
+            (H + pad_h) // downsample[1],
+            (W + pad_w) // downsample[2],
+            out_dim,
+        )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pad import generalize_padding
+
+        B, T, H, W, C = x.shape
+        dT, dH, dW = self.downsample
+        pad_t = (dT - T % dT) % dT
+        pad_h = (dH - H % dH) % dH
+        pad_w = (dW - W % dW) % dW
+        if pad_t or pad_h or pad_w:
+            x = generalize_padding(x, pad_t, pad_h, pad_w, padding_type=self.padding_type)
+            T, H, W = T + pad_t, H + pad_h, W + pad_w
+        x = x.reshape(B, T // dT, dT, H // dH, dH, W // dW, dW, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(B, T // dT, H // dH, W // dW, dT * dH * dW * C)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = nn.Dense(self.out_dim, use_bias=False, name="reduction",
+                     kernel_init=linear_init(self.linear_init_mode))(x)
+        return x
+
+
+class Upsample3DLayer(nn.Module):
+    """Nearest-neighbor 2-D upsample to ``target_size`` + 3x3 conv, per frame."""
+
+    out_dim: int
+    target_size: Tuple[int, int, int]  # (T, H, W)
+    kernel_size: int = 3
+    temporal_upsample: bool = False
+    conv_init_mode: str = "0"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H, W, C = x.shape
+        if self.temporal_upsample:
+            # 3-D nearest resize over T, H, W
+            t_idx = (np.arange(self.target_size[0]) * T) // self.target_size[0]
+            x = x[:, t_idx]
+            x = nearest_resize_2d(x, self.target_size[1], self.target_size[2])
+        else:
+            assert self.target_size[0] == T
+            x = nearest_resize_2d(x, self.target_size[1], self.target_size[2])
+        k = self.kernel_size
+        x = nn.Conv(
+            self.out_dim, kernel_size=(k, k), padding=k // 2, name="conv",
+            kernel_init=conv_init(self.conv_init_mode),
+        )(x.reshape(B * self.target_size[0], self.target_size[1], self.target_size[2], C))
+        return x.reshape((B,) + tuple(self.target_size) + (self.out_dim,))
+
+
+class TimeEmbedLayer(nn.Module):
+    """2-layer SiLU MLP over the sinusoidal timestep embedding."""
+
+    time_embed_channels: int
+    linear_init_mode: str = "0"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.time_embed_channels, name="layer_0",
+                     kernel_init=linear_init(self.linear_init_mode))(x)
+        x = jax.nn.silu(x)
+        x = nn.Dense(self.time_embed_channels, name="layer_2",
+                     kernel_init=linear_init(self.linear_init_mode))(x)
+        return x
+
+
+class TimeEmbedResBlock(nn.Module):
+    """FiLM-style residual block injecting the diffusion timestep embedding.
+
+    Input layout (B, T, H, W, C) (the torch reference uses NCTHW); 3-D convs
+    with kernel 3.  When ``use_embed=False`` it degrades to a plain ResBlock
+    (used as ``first_proj``).  ``up``/``down`` resampling is not used by any
+    PreDiff config and is unsupported here.
+    """
+
+    channels: int
+    dropout: float = 0.0
+    emb_channels: Optional[int] = None
+    out_channels: Optional[int] = None
+    use_conv: bool = False
+    use_embed: bool = True
+    use_scale_shift_norm: bool = False
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        emb: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        out_channels = self.out_channels or self.channels
+        in_groups = self.norm_groups if self.channels % self.norm_groups == 0 else self.channels
+        out_groups = self.norm_groups if out_channels % self.norm_groups == 0 else out_channels
+
+        h = nn.GroupNorm(num_groups=in_groups, epsilon=1e-5, name="in_layers_0")(x)
+        h = jax.nn.silu(h)
+        h = nn.Conv(out_channels, kernel_size=(3, 3, 3), padding=1, name="in_layers_2",
+                    kernel_init=conv_init("0"))(h)
+
+        out_norm = nn.GroupNorm(num_groups=out_groups, epsilon=1e-5, name="out_layers_0")
+        out_conv = nn.Conv(out_channels, kernel_size=(3, 3, 3), padding=1,
+                           name="out_layers_3", kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros)
+        drop = nn.Dropout(self.dropout)
+
+        if self.use_embed:
+            assert emb is not None and self.emb_channels is not None
+            emb_out = nn.Dense(
+                2 * out_channels if self.use_scale_shift_norm else out_channels,
+                name="emb_layers_1", kernel_init=linear_init("0"),
+            )(jax.nn.silu(emb))
+            emb_out = emb_out[:, None, None, None, :]  # broadcast over T,H,W
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = out_norm(h) * (1 + scale) + shift
+                h = jax.nn.silu(h)
+                h = drop(h, deterministic=deterministic)
+                h = out_conv(h)
+            else:
+                h = h + emb_out
+                h = out_norm(h)
+                h = jax.nn.silu(h)
+                h = drop(h, deterministic=deterministic)
+                h = out_conv(h)
+        else:
+            h = out_norm(h)
+            h = jax.nn.silu(h)
+            h = drop(h, deterministic=deterministic)
+            h = out_conv(h)
+
+        if out_channels == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = nn.Conv(out_channels, kernel_size=(3, 3, 3), padding=1,
+                           name="skip_connection", kernel_init=conv_init("0"))(x)
+        else:
+            skip = nn.Conv(out_channels, kernel_size=(1, 1, 1), name="skip_connection",
+                           kernel_init=conv_init("0"))(x)
+        return skip + h

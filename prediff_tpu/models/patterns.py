@@ -1,0 +1,121 @@
+"""Cuboid attention pattern library (ref: cuboid_transformer_patterns.py).
+
+Each pattern maps a mem shape (T, H, W, C) to per-layer
+(cuboid_size, strategy, shift_size) lists.
+"""
+import functools
+
+from ..utils.registry import Registry
+
+CuboidSelfAttentionPatterns = Registry("CuboidSelfAttentionPattern")
+CuboidCrossAttentionPatterns = Registry("CuboidCrossAttentionPatterns")
+
+
+def full_attention(input_shape):
+    T, H, W, _ = input_shape
+    return [(T, H, W)], [("l", "l", "l")], [(0, 0, 0)]
+
+
+def self_axial(input_shape):
+    """Axial attention: attend along T, then H, then W."""
+    T, H, W, _ = input_shape
+    cuboid_size = [(T, 1, 1), (1, H, 1), (1, 1, W)]
+    strategy = [("l", "l", "l")] * 3
+    shift_size = [(0, 0, 0)] * 3
+    return cuboid_size, strategy, shift_size
+
+
+def self_video_swin(input_shape, P=2, M=4):
+    """Video Swin: two local windows, second one shifted by half."""
+    T, H, W, _ = input_shape
+    P = min(P, T)
+    M = min(M, H, W)
+    cuboid_size = [(P, M, M), (P, M, M)]
+    strategy = [("l", "l", "l"), ("l", "l", "l")]
+    shift_size = [(0, 0, 0), (P // 2, M // 2, M // 2)]
+    return cuboid_size, strategy, shift_size
+
+
+def self_divided_space_time(input_shape):
+    T, H, W, _ = input_shape
+    cuboid_size = [(T, 1, 1), (1, H, W)]
+    strategy = [("l", "l", "l"), ("l", "l", "l")]
+    shift_size = [(0, 0, 0), (0, 0, 0)]
+    return cuboid_size, strategy, shift_size
+
+
+def self_spatial_lg_v1(input_shape, M=4):
+    T, H, W, _ = input_shape
+    if H <= M and W <= M:
+        cuboid_size = [(T, 1, 1), (1, H, W)]
+        strategy = [("l", "l", "l"), ("l", "l", "l")]
+        shift_size = [(0, 0, 0), (0, 0, 0)]
+    else:
+        cuboid_size = [(T, 1, 1), (1, M, M), (1, M, M)]
+        strategy = [("l", "l", "l"), ("l", "l", "l"), ("d", "d", "d")]
+        shift_size = [(0, 0, 0), (0, 0, 0), (0, 0, 0)]
+    return cuboid_size, strategy, shift_size
+
+
+def self_axial_space_dilate_K(input_shape, K=2):
+    T, H, W, _ = input_shape
+    K = min(K, H, W)
+    cuboid_size = [
+        (T, 1, 1),
+        (1, H // K, 1), (1, H // K, 1),
+        (1, 1, W // K), (1, 1, W // K),
+    ]
+    strategy = [
+        ("l", "l", "l"),
+        ("d", "d", "d"), ("l", "l", "l"),
+        ("d", "d", "d"), ("l", "l", "l"),
+    ]
+    shift_size = [(0, 0, 0)] * 5
+    return cuboid_size, strategy, shift_size
+
+
+CuboidSelfAttentionPatterns.register("full", full_attention)
+CuboidSelfAttentionPatterns.register("axial", self_axial)
+CuboidSelfAttentionPatterns.register("video_swin", self_video_swin)
+CuboidSelfAttentionPatterns.register("divided_st", self_divided_space_time)
+for p in (1, 2, 4, 8, 10):
+    for m in (1, 2, 4, 8, 16, 32):
+        CuboidSelfAttentionPatterns.register(
+            f"video_swin_{p}x{m}", functools.partial(self_video_swin, P=p, M=m)
+        )
+CuboidSelfAttentionPatterns.register("spatial_lg_v1", self_spatial_lg_v1)
+for m in (1, 2, 4, 8, 16, 32):
+    CuboidSelfAttentionPatterns.register(
+        f"spatial_lg_{m}", functools.partial(self_spatial_lg_v1, M=m)
+    )
+for k in (2, 4, 8):
+    CuboidSelfAttentionPatterns.register(
+        f"axial_space_dilate_{k}", functools.partial(self_axial_space_dilate_K, K=k)
+    )
+
+
+def cross_KxK(mem_shape, K):
+    T_mem, H, W, _ = mem_shape
+    K = min(K, H, W)
+    return [(K, K)], [(0, 0)], [("l", "l", "l")], [1]
+
+
+def cross_KxK_lg(mem_shape, K):
+    T_mem, H, W, _ = mem_shape
+    K = min(K, H, W)
+    return [(K, K), (K, K)], [(0, 0), (0, 0)], [("l", "l", "l"), ("d", "d", "d")], [1, 1]
+
+
+def cross_KxK_heter(mem_shape, K):
+    T_mem, H, W, _ = mem_shape
+    K = min(K, H, W)
+    cuboid_hw = [(K, K)] * 3
+    shift_hw = [(0, 0), (0, 0), (K // 2, K // 2)]
+    strategy = [("l", "l", "l"), ("d", "d", "d"), ("l", "l", "l")]
+    return cuboid_hw, shift_hw, strategy, [1, 1, 1]
+
+
+for k in (1, 2, 4, 8):
+    CuboidCrossAttentionPatterns.register(f"cross_{k}x{k}", functools.partial(cross_KxK, K=k))
+    CuboidCrossAttentionPatterns.register(f"cross_{k}x{k}_lg", functools.partial(cross_KxK_lg, K=k))
+    CuboidCrossAttentionPatterns.register(f"cross_{k}x{k}_heter", functools.partial(cross_KxK_heter, K=k))

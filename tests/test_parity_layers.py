@@ -1,0 +1,151 @@
+"""Numerical parity of flax layers vs the PyTorch reference (random weights,
+converted via prediff_tpu.utils.convert).  Skipped when the reference tree is
+not present."""
+import numpy as np
+import pytest
+
+from conftest import reference_available, import_reference
+
+if not reference_available():
+    pytest.skip("reference not present", allow_module_level=True)
+
+import_reference()
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from prediff_tpu.utils.convert import convert_torch_state_dict  # noqa: E402
+
+torch.manual_seed(0)
+RTOL, ATOL = 2e-4, 2e-4
+
+
+def convert_and_apply(flax_model, torch_model, *jax_inputs, method=None, **apply_kwargs):
+    variables = flax_model.init(jax.random.PRNGKey(0), *jax_inputs, **apply_kwargs)
+    params = convert_torch_state_dict(torch_model.state_dict(), variables["params"])
+    out = flax_model.apply({"params": params}, *jax_inputs, method=method, **apply_kwargs)
+    return out
+
+
+def test_positionwise_ffn_parity():
+    from prediff.models.cuboid_transformer.cuboid_transformer import (
+        PositionwiseFFN as RefFFN,
+    )
+    from prediff_tpu.models.layers import PositionwiseFFN
+
+    for gated, pre_norm, act in [(False, True, "gelu"), (True, False, "leaky")]:
+        ref = RefFFN(units=16, hidden_size=64, dropout=0.0, activation_dropout=0.0,
+                     gated_proj=gated, activation=act, pre_norm=pre_norm).eval()
+        ours = PositionwiseFFN(units=16, hidden_size=64, dropout=0.0,
+                               activation_dropout=0.0, gated_proj=gated,
+                               activation=act, pre_norm=pre_norm)
+        x = np.random.RandomState(0).randn(2, 5, 16).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(convert_and_apply(ours, ref, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, rtol=RTOL, atol=ATOL)
+
+
+def test_patch_merging_parity():
+    from prediff.models.cuboid_transformer.cuboid_transformer import (
+        PatchMerging3D as RefPM,
+    )
+    from prediff_tpu.models.layers import PatchMerging3D
+
+    for shape, ds, ptype in [
+        ((2, 4, 8, 8, 16), (1, 2, 2), "nearest"),
+        ((2, 5, 9, 9, 16), (1, 2, 2), "zeros"),
+        # NB: cases where only pad_t > 0 crash the reference (its pad guard
+        # reads `pad_h or pad_h or pad_w`, dropping pad_t); ours pads correctly.
+        ((2, 5, 8, 8, 16), (2, 3, 3), "nearest"),
+    ]:
+        ref = RefPM(dim=16, out_dim=32, downsample=ds, padding_type=ptype).eval()
+        ours = PatchMerging3D(out_dim=32, downsample=ds, padding_type=ptype)
+        x = np.random.RandomState(1).randn(*shape).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(convert_and_apply(ours, ref, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, rtol=RTOL, atol=ATOL)
+
+
+def test_upsample3d_parity():
+    from prediff.models.cuboid_transformer.cuboid_transformer import (
+        Upsample3DLayer as RefUp,
+    )
+    from prediff_tpu.models.layers import Upsample3DLayer
+
+    ref = RefUp(dim=8, out_dim=4, target_size=(5, 16, 16), kernel_size=3).eval()
+    ours = Upsample3DLayer(out_dim=4, target_size=(5, 16, 16), kernel_size=3)
+    x = np.random.RandomState(2).randn(2, 5, 8, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(convert_and_apply(ours, ref, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=RTOL, atol=ATOL)
+
+
+def test_pos_embed_parity():
+    from prediff.models.cuboid_transformer.cuboid_transformer import PosEmbed as RefPE
+    from prediff_tpu.models.layers import PosEmbed
+
+    for typ in ("t+h+w", "t+hw"):
+        ref = RefPE(embed_dim=16, maxT=7, maxH=8, maxW=8, typ=typ).eval()
+        ours = PosEmbed(embed_dim=16, maxT=7, maxH=8, maxW=8, typ=typ)
+        x = np.random.RandomState(3).randn(2, 6, 8, 8, 16).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(convert_and_apply(ours, ref, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, rtol=RTOL, atol=ATOL)
+
+
+def test_time_embed_layer_parity():
+    from prediff.models.time_embed import TimeEmbedLayer as RefTE
+    from prediff_tpu.models.layers import TimeEmbedLayer
+
+    ref = RefTE(base_channels=16, time_embed_channels=64).eval()
+    ours = TimeEmbedLayer(time_embed_channels=64)
+    x = np.random.RandomState(4).randn(3, 16).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(convert_and_apply(ours, ref, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=RTOL, atol=ATOL)
+
+
+def test_timestep_embedding_parity():
+    from prediff.models.utils import timestep_embedding as ref_emb
+    from prediff_tpu.models.layers import timestep_embedding
+
+    t = np.array([0, 1, 57, 999], dtype=np.int64)
+    expected = ref_emb(torch.from_numpy(t), 128).numpy()
+    got = np.asarray(timestep_embedding(jnp.asarray(t), 128))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_embed,scale_shift,cin,cout", [
+    (False, False, 9, 16),     # first_proj style (9 % 32 != 0 -> per-channel GN)
+    (True, False, 16, 16),
+    (True, True, 32, 32),
+])
+def test_time_embed_resblock_parity(use_embed, scale_shift, cin, cout):
+    from prediff.models.time_embed import TimeEmbedResBlock as RefRB
+    from prediff_tpu.models.layers import TimeEmbedResBlock
+
+    emb_ch = 24 if use_embed else None
+    ref = RefRB(channels=cin, dropout=0.0, emb_channels=emb_ch, out_channels=cout,
+                use_conv=False, use_embed=use_embed,
+                use_scale_shift_norm=scale_shift, dims=3).eval()
+    ours = TimeEmbedResBlock(channels=cin, dropout=0.0, emb_channels=emb_ch,
+                             out_channels=cout, use_conv=False, use_embed=use_embed,
+                             use_scale_shift_norm=scale_shift)
+    x = np.random.RandomState(5).randn(2, 5, 6, 6, cin).astype(np.float32)
+    x_torch = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # NTHWC -> NCTHW
+    if use_embed:
+        emb = np.random.RandomState(6).randn(2, emb_ch).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(x_torch, torch.from_numpy(emb)).numpy()
+        got = np.asarray(convert_and_apply(ours, ref, jnp.asarray(x), jnp.asarray(emb)))
+    else:
+        with torch.no_grad():
+            expected = ref(x_torch).numpy()
+        got = np.asarray(convert_and_apply(ours, ref, jnp.asarray(x)))
+    expected = expected.transpose(0, 2, 3, 4, 1)  # NCTHW -> NTHWC
+    np.testing.assert_allclose(got, expected, rtol=RTOL, atol=ATOL)
