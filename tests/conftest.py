@@ -31,6 +31,25 @@ def import_reference():
 
     The reference is never imported by the framework itself — tests compare
     numerics against it when it happens to be present on this machine.
+    torchvision isn't installed here; stub just enough of it for the
+    reference's LPIPS import chain (we never run that code path).
     """
     if REFERENCE_SRC not in sys.path:
         sys.path.insert(0, REFERENCE_SRC)
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_models.vgg16 = None
+
+        class _FakeWeights:
+            IMAGENET1K_V1 = None
+
+        tv_models.VGG16_Weights = _FakeWeights
+        tv_transforms = types.ModuleType("torchvision.transforms")
+        tv.models = tv_models
+        tv.transforms = tv_transforms
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.transforms"] = tv_transforms
