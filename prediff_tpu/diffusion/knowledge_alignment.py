@@ -1,0 +1,61 @@
+"""Knowledge alignment: classifier-guidance-style mean shift from a trained
+energy model U(z_t, t, y).
+
+Reference parity: SEVIRAvgIntensityAlignment
+(src/prediff/diffusion/knowledge_alignment/sevir.py:7) and
+get_sample_align_fn (alignment_pl.py:423).
+
+TPU-first: the reference re-enters torch autograd inside its Python sampling
+loop (`torch.enable_grad` + `autograd.grad`); here the guidance gradient is
+plain ``jax.grad`` of the alignment energy wrt z_t, composed *inside* the
+scanned sampling step and compiled once."""
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models.alignment import NoisyCuboidTransformerEncoder
+
+
+def avg_x_objective(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame mean intensity target: (B,T,H,W,C) -> (B,T,1) (ref sevir.py:41)."""
+    return x.mean(axis=(2, 3, 4))[..., None]
+
+
+@struct.dataclass
+class KnowledgeAlignment:
+    """Bundles the alignment model apply-fn, params and guidance scale.
+
+    ``alignment_energy`` mirrors the reference ``alignment_fn`` (sevir.py:55):
+    U's per-frame readout is averaged over T, then an L2 norm against the
+    knowledge target ``avg_x_gt`` over ALL elements (batch included — the
+    reference flattens across the batch too)."""
+
+    params: Any
+    guide_scale: float = struct.field(pytree_node=False, default=1.0)
+    apply_fn: Callable = struct.field(pytree_node=False, default=None)
+    alignment_type: str = struct.field(pytree_node=False, default="avg_x")
+
+    def predict(self, zt, t, zc=None, y=None):
+        return self.apply_fn({"params": self.params}, zt, t, zc=zc, y=y)
+
+    def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None):
+        pred = self.predict(zt, t, zc=zc, y=y)  # (B, T, 1)
+        pred = pred.mean(axis=1)  # (B, 1)
+        return jnp.sqrt(jnp.sum(jnp.square(pred - avg_x_gt)) + 1e-24)
+
+    def get_mean_shift(self, zt, t, avg_x_gt, zc=None, y=None):
+        """guide_scale * d(energy)/d(z_t), computed in-graph."""
+        grad = jax.grad(
+            lambda z: self.alignment_energy(z, t, avg_x_gt, zc=zc, y=y)
+        )(zt)
+        return self.guide_scale * grad
+
+
+def get_alignment_kwargs_avg_x(target_seq: jnp.ndarray, multiplier: float = 2.0) -> Dict[str, jnp.ndarray]:
+    """Demonstration knowledge: 2x the ground-truth future mean intensity
+    (ref: train_sevirlr_prediff.py:48-67)."""
+    batch_size = target_seq.shape[0]
+    ret = target_seq.reshape(batch_size, -1).mean(axis=1, keepdims=True) * multiplier
+    return {"avg_x_gt": ret}

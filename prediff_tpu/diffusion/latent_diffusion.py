@@ -1,0 +1,373 @@
+"""Latent diffusion pipeline: VAE latent space + Earthformer-UNet denoiser +
+(optional) knowledge-alignment guidance, with the whole sampling chain
+compiled as one jitted ``lax.scan``.
+
+Reference parity: LatentDiffusion (src/prediff/diffusion/latent_diffusion.py:25).
+The reference runs a Python loop of 1000 device round-trips per forecast
+(:633-684); here the loop is a single compiled scan (per-step RNG via
+``jax.random.fold_in``), alignment guidance is in-graph ``jax.grad``, and the
+VAE decode is fused into the same jit.
+"""
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.distributions import DiagonalGaussianDistribution
+from ..utils.layout import parse_layout_shape
+from .schedule import (
+    GaussianSchedule,
+    make_gaussian_schedule,
+    make_ddim_timesteps,
+    make_ddim_sampling_parameters,
+)
+from . import core
+from .knowledge_alignment import KnowledgeAlignment
+
+
+class LatentDiffusion:
+    """Functional orchestrator (not a Module): holds apply-fns + frozen params
+    and compiles sampling/encoding pipelines on demand.
+
+    Parameters mirror the reference constructor; ``first_stage`` is the VAE
+    (always frozen, ref :319-328), ``cond_stage`` defaults to sharing it
+    ("__is_first_stage__", ref :330-380)."""
+
+    def __init__(
+        self,
+        unet_apply: Callable,
+        vae_apply_encode: Callable,
+        vae_apply_decode: Callable,
+        schedule: Optional[GaussianSchedule] = None,
+        timesteps: int = 1000,
+        beta_schedule: str = "linear",
+        linear_start: float = 1e-4,
+        linear_end: float = 2e-2,
+        cosine_s: float = 8e-3,
+        given_betas=None,
+        v_posterior: float = 0.0,
+        parameterization: str = "eps",
+        loss_type: str = "l2",
+        l_simple_weight: float = 1.0,
+        original_elbo_weight: float = 0.0,
+        learn_logvar: bool = False,
+        logvar_init: float = 0.0,
+        layout: str = "NTHWC",
+        data_shape: Sequence[int] = (6, 128, 128, 1),
+        latent_shape: Sequence[int] = (6, 16, 16, 64),
+        cond_latent_shape: Optional[Sequence[int]] = None,
+        scale_factor: float = 1.0,
+        clip_denoised: bool = False,
+        log_every_t: int = 100,
+        alignment: Optional[KnowledgeAlignment] = None,
+    ):
+        assert parameterization in ("eps", "x0")
+        self.unet_apply = unet_apply
+        self.vae_apply_encode = vae_apply_encode
+        self.vae_apply_decode = vae_apply_decode
+        self.schedule = schedule or make_gaussian_schedule(
+            beta_schedule=beta_schedule,
+            timesteps=timesteps,
+            linear_start=linear_start,
+            linear_end=linear_end,
+            cosine_s=cosine_s,
+            given_betas=given_betas,
+            v_posterior=v_posterior,
+            parameterization=parameterization,
+        )
+        self.num_timesteps = self.schedule.num_timesteps
+        self.parameterization = parameterization
+        self.loss_type = loss_type
+        self.l_simple_weight = l_simple_weight
+        self.original_elbo_weight = original_elbo_weight
+        self.learn_logvar = learn_logvar
+        self.logvar_init = logvar_init
+        self.layout = layout
+        axes = parse_layout_shape(layout)
+        assert axes["batch_axis"] == 0, "batch must lead (TPU sharding axis)"
+        self.t_axis = axes["t_axis"]
+        self.data_shape = tuple(data_shape)
+        self.latent_shape = tuple(latent_shape)
+        self.cond_latent_shape = tuple(cond_latent_shape or latent_shape)
+        self.scale_factor = scale_factor
+        self.clip_denoised = clip_denoised
+        self.log_every_t = log_every_t
+        self.alignment = alignment
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------ #
+    # first/cond stage
+    # ------------------------------------------------------------------ #
+    def _frames(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+        """(B, T, H, W, C) -> (B*T, H, W, C)."""
+        B = x.shape[0]
+        return x.reshape((-1,) + x.shape[2:]), B
+
+    def _unframes(self, x: jnp.ndarray, batch: int) -> jnp.ndarray:
+        return x.reshape((batch, -1) + x.shape[1:])
+
+    def encode_first_stage(
+        self, vae_params, x: jnp.ndarray, rng: Optional[jax.Array] = None,
+        sample_posterior: bool = False,
+    ) -> jnp.ndarray:
+        """Pixel seq (B,T,H,W,C) -> scaled latent seq (B,T,h,w,c).
+        Training samples the posterior; conditioning takes the mode
+        (ref :382-391 / :361-380)."""
+        frames, B = self._frames(x)
+        moments = self.vae_apply_encode({"params": vae_params}, frames)
+        posterior = DiagonalGaussianDistribution.from_parameters(moments)
+        z = posterior.sample(rng) if sample_posterior else posterior.mode()
+        return self._unframes(self.scale_factor * z, B)
+
+    def decode_first_stage(self, vae_params, z: jnp.ndarray) -> jnp.ndarray:
+        """Latent seq (B,T,h,w,c) -> pixel seq (B,T,H,W,C)."""
+        frames, B = self._frames(z / self.scale_factor)
+        dec = self.vae_apply_decode({"params": vae_params}, frames)
+        return self._unframes(dec, B)
+
+    def cond_stage_forward(self, vae_params, y: jnp.ndarray) -> jnp.ndarray:
+        return self.encode_first_stage(vae_params, y, sample_posterior=False)
+
+    # ------------------------------------------------------------------ #
+    # training loss
+    # ------------------------------------------------------------------ #
+    def init_logvar(self) -> jnp.ndarray:
+        return jnp.full((self.num_timesteps,), self.logvar_init, jnp.float32)
+
+    def p_losses(
+        self,
+        unet_params,
+        logvar: jnp.ndarray,
+        z_start: jnp.ndarray,
+        zc: jnp.ndarray,
+        t: jnp.ndarray,
+        noise: jnp.ndarray,
+        dropout_rng: Optional[jax.Array] = None,
+        train: bool = False,
+        prefix: str = "train",
+    ):
+        z_noisy = core.q_sample(self.schedule, z_start, t, noise)
+        kwargs = {}
+        if train and dropout_rng is not None:
+            kwargs = dict(rngs={"dropout": dropout_rng}, deterministic=False)
+        model_out = self.unet_apply({"params": unet_params}, z_noisy, t, zc, **kwargs)
+        return core.diffusion_loss(
+            self.schedule, model_out, z_start, noise, t, logvar,
+            parameterization=self.parameterization,
+            loss_type=self.loss_type,
+            l_simple_weight=self.l_simple_weight,
+            original_elbo_weight=self.original_elbo_weight,
+            learn_logvar=self.learn_logvar,
+            prefix=prefix,
+        )
+
+    def training_loss(
+        self, unet_params, logvar, vae_params, rng: jax.Array,
+        x: jnp.ndarray, y: jnp.ndarray, train: bool = True, prefix: str = "train",
+    ):
+        """Full forward (ref :447-476): encode target (posterior sample) and
+        context (mode), draw t, add noise, denoise, weigh."""
+        rng_enc, rng_t, rng_noise, rng_drop = jax.random.split(rng, 4)
+        z = self.encode_first_stage(vae_params, x, rng=rng_enc, sample_posterior=True)
+        z = jax.lax.stop_gradient(z)
+        zc = jax.lax.stop_gradient(self.cond_stage_forward(vae_params, y))
+        B = x.shape[0]
+        t = jax.random.randint(rng_t, (B,), 0, self.num_timesteps)
+        noise = jax.random.normal(rng_noise, z.shape, z.dtype)
+        return self.p_losses(
+            unet_params, logvar, z, zc, t, noise,
+            dropout_rng=rng_drop, train=train, prefix=prefix,
+        )
+
+    # ------------------------------------------------------------------ #
+    # sampling
+    # ------------------------------------------------------------------ #
+    def _p_sample_step(
+        self, unet_params, align_params, z, t, zc, y, avg_x_gt, step_rng,
+        use_alignment: bool, temperature: float = 1.0,
+    ):
+        """One reverse step (ref p_sample :598-631)."""
+        model_out = self.unet_apply({"params": unet_params}, z, t, zc)
+        mean, _, log_var, _ = core.p_mean_variance(
+            self.schedule, model_out, z, t,
+            parameterization=self.parameterization,
+            clip_denoised=self.clip_denoised,
+        )
+        if use_alignment:
+            align = self.alignment.replace(params=align_params)
+            shift = align.get_mean_shift(z, t, avg_x_gt, zc=zc, y=y)
+            mean = mean - jnp.exp(0.5 * log_var) * shift
+        noise = jax.random.normal(step_rng, z.shape, z.dtype) * temperature
+        nonzero = (t > 0).astype(z.dtype).reshape((-1,) + (1,) * (z.ndim - 1))
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+    def _build_sample_fn(
+        self,
+        batch_size: int,
+        use_alignment: bool,
+        timesteps: Optional[int],
+        return_decoded: bool,
+        use_mask: bool,
+        num_segments: int,
+        temperature: float,
+        sampler: str,
+        ddim_steps: Optional[int],
+        ddim_eta: float,
+        ddim_clip_x0: bool,
+    ):
+        """Compile the full sampling chain for a static configuration."""
+        total_T = timesteps or self.num_timesteps
+        latent_shape = (batch_size,) + self.latent_shape
+
+        if sampler == "ddpm":
+            ts_all = np.arange(total_T - 1, -1, -1, dtype=np.int32)
+        elif sampler == "ddim":
+            assert ddim_steps is not None
+            ddim_ts = make_ddim_timesteps("uniform", ddim_steps, total_T)
+            ddim_ts = np.clip(ddim_ts, 0, total_T - 1)
+            sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
+                np.asarray(self.schedule.alphas_cumprod, dtype=np.float64),
+                ddim_ts, ddim_eta,
+            )
+            ts_all = np.arange(len(ddim_ts) - 1, -1, -1, dtype=np.int32)  # indices
+            ddim_ts = jnp.asarray(ddim_ts.astype(np.int32))
+            ddim_sigmas = jnp.asarray(sigmas.astype(np.float32))
+            ddim_alphas = jnp.asarray(alphas.astype(np.float32))
+            ddim_alphas_prev = jnp.asarray(alphas_prev.astype(np.float32))
+        else:
+            raise NotImplementedError(f"sampler '{sampler}'")
+
+        segments = np.array_split(ts_all, num_segments)
+
+        def ddpm_step(unet_params, align_params, zc, y, avg_x_gt, mask, x0, rng, z, t_scalar):
+            step_rng = jax.random.fold_in(rng, t_scalar)
+            t_b = jnp.full((batch_size,), t_scalar, jnp.int32)
+            z = self._p_sample_step(
+                unet_params, align_params, z, t_b, zc, y, avg_x_gt, step_rng,
+                use_alignment=use_alignment, temperature=temperature,
+            )
+            if use_mask:
+                noise = jax.random.normal(jax.random.fold_in(step_rng, 1), z.shape, z.dtype)
+                z_orig = core.q_sample(self.schedule, x0, t_b, noise)
+                z = z_orig * mask + (1.0 - mask) * z
+            return z
+
+        def ddim_step(unet_params, align_params, zc, y, avg_x_gt, mask, x0, rng, z, idx):
+            t_scalar = ddim_ts[idx]
+            step_rng = jax.random.fold_in(rng, idx)
+            t_b = jnp.full((batch_size,), t_scalar, jnp.int32)
+            model_out = self.unet_apply({"params": unet_params}, z, t_b, zc)
+            if self.parameterization == "eps":
+                eps = model_out
+                a_t = ddim_alphas[idx]
+                x0_pred = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+            else:
+                x0_pred = model_out
+                a_t = ddim_alphas[idx]
+                eps = (z - jnp.sqrt(a_t) * x0_pred) / jnp.sqrt(1.0 - a_t)
+            if ddim_clip_x0 or self.clip_denoised:
+                x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+            a_prev = ddim_alphas_prev[idx]
+            sigma = ddim_sigmas[idx]
+            if use_alignment:
+                # shift eps by sigma_t * grad (classifier-guidance equivalent)
+                align = self.alignment.replace(params=align_params)
+                shift = align.get_mean_shift(z, t_b, avg_x_gt, zc=zc, y=y)
+                eps = eps + jnp.sqrt(1.0 - a_t) * shift
+                x0_pred = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+            dir_zt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+            noise = jax.random.normal(step_rng, z.shape, z.dtype) * temperature
+            return jnp.sqrt(a_prev) * x0_pred + dir_zt + sigma * noise
+
+        step = ddpm_step if sampler == "ddpm" else ddim_step
+
+        @jax.jit
+        def sample_fn(unet_params, vae_params, align_params, rng, y,
+                      avg_x_gt, x_T, mask, x0):
+            zc = self.cond_stage_forward(vae_params, y)
+            z = x_T
+            intermediates = []
+            for seg in segments:
+                seg_arr = jnp.asarray(seg)
+
+                def body(carry, t_scalar):
+                    z = carry
+                    z = step(unet_params, align_params, zc, y, avg_x_gt,
+                             mask, x0, rng, z, t_scalar)
+                    return z, None
+
+                z, _ = jax.lax.scan(body, z, seg_arr)
+                intermediates.append(z)
+            if return_decoded:
+                out = self.decode_first_stage(vae_params, z)
+                inter = (
+                    [self.decode_first_stage(vae_params, i) for i in intermediates]
+                    if num_segments > 1 else None
+                )
+            else:
+                out = z
+                inter = intermediates if num_segments > 1 else None
+            return out, inter
+
+        return sample_fn
+
+    def sample(
+        self,
+        unet_params,
+        vae_params,
+        rng: jax.Array,
+        y: jnp.ndarray,
+        align_params=None,
+        use_alignment: bool = False,
+        alignment_kwargs: Optional[Dict[str, jnp.ndarray]] = None,
+        x_T: Optional[jnp.ndarray] = None,
+        timesteps: Optional[int] = None,
+        mask: Optional[jnp.ndarray] = None,
+        x0: Optional[jnp.ndarray] = None,
+        return_intermediates: bool = False,
+        return_decoded: bool = True,
+        temperature: float = 1.0,
+        sampler: str = "ddpm",
+        ddim_steps: Optional[int] = None,
+        ddim_eta: float = 0.0,
+        ddim_clip_x0: bool = False,
+    ):
+        """Generate a forecast from context ``y`` (B, T_in, H, W, C).
+
+        Returns decoded pixels (B, T_out, H, W, C) (or latents), plus
+        intermediates when requested."""
+        if use_alignment:
+            assert self.alignment is not None, "alignment not configured"
+        batch_size = y.shape[0]
+        num_segments = (
+            max(1, (timesteps or self.num_timesteps) // self.log_every_t)
+            if return_intermediates else 1
+        )
+        key = (
+            batch_size, use_alignment, timesteps, return_decoded,
+            mask is not None, num_segments, float(temperature),
+            sampler, ddim_steps, float(ddim_eta), ddim_clip_x0,
+        )
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_sample_fn(*key)
+        fn = self._jit_cache[key]
+
+        rng_init, rng_loop = jax.random.split(rng)
+        if x_T is None:
+            x_T = jax.random.normal(rng_init, (batch_size,) + self.latent_shape)
+        zeros = jnp.zeros((batch_size,) + self.latent_shape)
+        avg_x_gt = (alignment_kwargs or {}).get("avg_x_gt", jnp.zeros((batch_size, 1)))
+        out, inter = fn(
+            unet_params, vae_params,
+            align_params if align_params is not None else (
+                self.alignment.params if self.alignment else 0
+            ),
+            rng_loop, y, avg_x_gt, x_T,
+            mask if mask is not None else zeros,
+            x0 if x0 is not None else zeros,
+        )
+        if return_intermediates:
+            return out, inter
+        return out

@@ -93,9 +93,12 @@ def make_gaussian_schedule(
     )
 
     if parameterization == "eps":
-        lvlb_weights = betas**2 / (
-            2 * posterior_variance * alphas * (1 - alphas_cumprod)
-        )
+        # posterior_variance[0] == 0 -> lvlb[0] is inf here; it is overwritten
+        # with lvlb[1] below (same as the reference, latent_diffusion.py:276)
+        with np.errstate(divide="ignore"):
+            lvlb_weights = betas**2 / (
+                2 * posterior_variance * alphas * (1 - alphas_cumprod)
+            )
     elif parameterization == "x0":
         lvlb_weights = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
     else:
