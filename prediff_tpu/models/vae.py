@@ -210,7 +210,7 @@ class Decoder(nn.Module):
     norm_num_groups: int = 32
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, return_features: bool = False):
         x = nn.Conv(self.block_out_channels[-1], (3, 3), padding=1, name="conv_in")(z)
         x = UNetMidBlock2D(
             resnet_groups=self.norm_num_groups, name="mid_block",
@@ -229,7 +229,12 @@ class Decoder(nn.Module):
         x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                          name="conv_norm_out")(x)
         x = jax.nn.silu(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out")(x)
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out")(x)
+        if return_features:
+            # pre-conv_out features: the GAN adaptive weight differentiates
+            # wrt the final conv kernel only (contperceptual.py:58-68)
+            return out, x
+        return out
 
 
 class AutoencoderKL(nn.Module):
@@ -279,6 +284,11 @@ class AutoencoderKL(nn.Module):
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(self.post_quant_conv(z))
+
+    def decode_with_features(self, z: jnp.ndarray):
+        """(reconstruction, pre-conv_out features) — for the GAN adaptive
+        weight, which needs d(loss)/d(conv_out kernel) only."""
+        return self.decoder(self.post_quant_conv(z), return_features=True)
 
     def __call__(self, sample: jnp.ndarray, sample_posterior: bool = False,
                  rng: Optional[jax.Array] = None):

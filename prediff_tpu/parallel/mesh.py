@@ -1,0 +1,61 @@
+"""Device mesh + sharding utilities — the TPU-native equivalent of the
+reference's Lightning DDP strategy (SURVEY.md §2.5).
+
+The reference's only parallelism is data-parallel (DDPStrategy over NCCL,
+train_sevirlr_prediff.py:648).  Here the same strategy is a 1-D ``data`` mesh:
+params replicated, batch (and ensemble members) sharded on ``data``, gradient
+all-reduce inserted by XLA from the sharding annotations — no explicit
+collectives or process groups.  Multi-host: ``jax.distributed.initialize()``
+then the same code; per-host input sharding via :func:`local_batch_slice`
+(mirrors SEVIRDataLoader num_shard/rank, sevir_dataloader.py:329-358).
+"""
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_2d_mesh(data: int, model: int, devices: Optional[Sequence] = None) -> Mesh:
+    """(data, model) mesh for optional tensor-sharded variants."""
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) == data * model, (len(devices), data, model)
+    return Mesh(np.asarray(devices).reshape(data, model), ("data", "model"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place every leaf fully replicated on the mesh."""
+    s = replicated_sharding(mesh)
+    return jax.device_put(tree, s)
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Shard every leaf's leading axis across ``axis_name``."""
+    s = batch_sharding(mesh, axis_name)
+    return jax.device_put(batch, s)
+
+
+def local_batch_slice(global_batch_size: int, num_shards: Optional[int] = None,
+                      shard_id: Optional[int] = None) -> slice:
+    """Index range of this host's shard of a global batch (multi-host input
+    pipeline; equivalent to the reference's num_shard/rank split)."""
+    num_shards = num_shards if num_shards is not None else jax.process_count()
+    shard_id = shard_id if shard_id is not None else jax.process_index()
+    assert global_batch_size % num_shards == 0, (global_batch_size, num_shards)
+    per = global_batch_size // num_shards
+    return slice(shard_id * per, (shard_id + 1) * per)

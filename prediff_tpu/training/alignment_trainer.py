@@ -1,0 +1,114 @@
+"""Knowledge-alignment network training — the TPU equivalent of AlignmentPL
+(src/prediff/diffusion/knowledge_alignment/alignment_pl.py:22, forward :338).
+
+U(z_t, t, y, zc) is regressed onto target_fn(x) (per-frame mean intensity for
+SEVIR, sevir.py:41) from q_sampled noisy latents."""
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..diffusion import core
+from ..diffusion.schedule import GaussianSchedule, make_gaussian_schedule
+from ..diffusion.knowledge_alignment import avg_x_objective
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..utils.distributions import DiagonalGaussianDistribution
+from .train_state import EmaTrainState
+from .optim import build_optimizer
+
+
+class AlignmentTrainer:
+    def __init__(
+        self,
+        model_apply: Callable,
+        vae_apply_encode: Callable,
+        vae_params,
+        schedule: Optional[GaussianSchedule] = None,
+        timesteps: int = 1000,
+        scale_factor: float = 1.0,
+        target_fn: Callable = avg_x_objective,
+        loss_type: str = "l2",
+        optim_config: Optional[Dict] = None,
+        use_ema: bool = False,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model_apply = model_apply
+        self.vae_apply_encode = vae_apply_encode
+        self.vae_params = vae_params
+        self.schedule = schedule or make_gaussian_schedule(timesteps=timesteps)
+        self.scale_factor = scale_factor
+        self.target_fn = target_fn
+        self.loss_type = loss_type
+        self.optim_config = dict(optim_config or {})
+        self.use_ema = use_ema
+        self.mesh = mesh
+        self._train_step = None
+
+    def create_state(self, params) -> EmaTrainState:
+        tx = build_optimizer(**self.optim_config)
+        state = EmaTrainState.create(params, tx, use_ema=self.use_ema)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
+
+    def _encode(self, x, rng, sample: bool):
+        B = x.shape[0]
+        frames = x.reshape((-1,) + x.shape[2:])
+        moments = self.vae_apply_encode({"params": self.vae_params}, frames)
+        posterior = DiagonalGaussianDistribution.from_parameters(moments)
+        z = posterior.sample(rng) if sample else posterior.mode()
+        z = self.scale_factor * z
+        return z.reshape((B, -1) + z.shape[1:])
+
+    def loss_fn(self, params, rng, x, y, train: bool = True):
+        """x: target pixel seq (B,T_out,H,W,C); y: context seq (B,T_in,H,W,C)."""
+        rng_enc, rng_t, rng_noise, rng_drop = jax.random.split(rng, 4)
+        z = jax.lax.stop_gradient(self._encode(x, rng_enc, sample=True))
+        zc = jax.lax.stop_gradient(self._encode(y, None, sample=False))
+        B = x.shape[0]
+        t = jax.random.randint(rng_t, (B,), 0, self.schedule.num_timesteps)
+        noise = jax.random.normal(rng_noise, z.shape, z.dtype)
+        zt = core.q_sample(self.schedule, z, t, noise)
+        kwargs = {}
+        if train:
+            kwargs = dict(rngs={"dropout": rng_drop}, deterministic=False)
+        pred = self.model_apply({"params": params}, zt, t, zc=zc, y=y, **kwargs)
+        target = self.target_fn(x)
+        if self.loss_type in ("l2", "mse"):
+            loss = jnp.mean(jnp.square(pred - target))
+        elif self.loss_type in ("l1", "mae"):
+            loss = jnp.mean(jnp.abs(pred - target))
+        else:
+            raise NotImplementedError(self.loss_type)
+        mae = jnp.mean(jnp.abs(pred - target))
+        avg_gt = jnp.mean(jnp.abs(target))
+        loss_dict = {
+            "mae": mae,
+            "avg_gt": avg_gt,
+            "relative_mae": mae / (avg_gt + 1e-8),
+        }
+        return loss, loss_dict
+
+    def make_train_step(self):
+        def step(state: EmaTrainState, rng, x, y):
+            step_rng = jax.random.fold_in(rng, state.step)
+            (loss, loss_dict), grads = jax.value_and_grad(
+                lambda p: self.loss_fn(p, step_rng, x, y, train=True), has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads)
+            loss_dict["train_loss"] = loss
+            return new_state, loss_dict
+
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            return jax.jit(step, in_shardings=(repl, repl, data, data),
+                           out_shardings=(repl, repl), donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,))
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        return self._train_step

@@ -1,0 +1,126 @@
+"""PreDiff (latent diffusion) training — the TPU equivalent of the reference's
+PreDiffSEVIRPLModule training path (train_sevirlr_prediff.py:70,761).
+
+One jitted, sharded train step: encode -> q_sample -> UNet -> weighted loss
+-> AdamW (+warmup/cosine) -> EMA, with the batch sharded on the ``data`` mesh
+axis and params replicated (XLA inserts the gradient all-reduce)."""
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..diffusion.latent_diffusion import LatentDiffusion
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .train_state import EmaTrainState
+from .optim import build_optimizer
+
+
+class DiffusionTrainer:
+    """Owns the jitted train/val steps for the latent diffusion model.
+
+    Trainable params: {"unet": ..., ["logvar": ...]} (logvar is trainable when
+    learn_logvar, ref latent_diffusion.py:146-150,726-736); the VAE is frozen.
+    """
+
+    def __init__(
+        self,
+        ld: LatentDiffusion,
+        vae_params,
+        optim_config: Optional[Dict] = None,
+        use_ema: bool = True,
+        ema_decay: float = 0.9999,
+        mesh: Optional[Mesh] = None,
+        remat_unet: bool = False,
+    ):
+        self.ld = ld
+        self.vae_params = vae_params
+        self.optim_config = dict(optim_config or {})
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
+        self.mesh = mesh
+        self.remat_unet = remat_unet
+        self._train_step = None
+        self._val_step = None
+
+    def create_state(self, unet_params) -> EmaTrainState:
+        params = {"unet": unet_params}
+        if self.ld.learn_logvar:
+            params["logvar"] = self.ld.init_logvar()
+        tx = build_optimizer(**self.optim_config)
+        state = EmaTrainState.create(
+            params, tx, use_ema=self.use_ema, ema_decay=self.ema_decay
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
+
+    def _loss_fn(self, params, rng, x, y, train: bool, prefix: str):
+        # Activation rematerialization (the reference's checkpoint_level) is
+        # applied here over the whole loss when requested — XLA schedules a
+        # step-level remat better than per-module checkpoints.
+        logvar = params.get("logvar", self.ld.init_logvar())
+        loss_fn = self.ld.training_loss
+        if train and self.remat_unet:
+            loss_fn = jax.checkpoint(loss_fn, static_argnums=(6, 7))
+        return loss_fn(
+            params["unet"], logvar, self.vae_params, rng, x, y,
+            train, prefix,
+        )
+
+    def make_train_step(self):
+        def step(state: EmaTrainState, rng, x, y):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                return self._loss_fn(params, step_rng, x, y, True, "train")
+
+            (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads)
+            loss_dict["grad_norm"] = optax_global_norm(grads)
+            return new_state, loss_dict
+
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(repl, repl, data, data),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_val_step(self, use_ema: bool = True):
+        def step(state: EmaTrainState, rng, x, y):
+            params = state.params
+            if use_ema and state.use_ema:
+                params = dict(params)
+                params["unet"] = state.ema_params["unet"]
+            _, loss_dict = self._loss_fn(params, rng, x, y, False, "val")
+            return loss_dict
+
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            return jax.jit(step, in_shardings=(repl, repl, data, data),
+                           out_shardings=repl)
+        return jax.jit(step)
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        return self._train_step
+
+    @property
+    def val_step(self):
+        if self._val_step is None:
+            self._val_step = self.make_val_step()
+        return self._val_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

@@ -1,0 +1,178 @@
+"""VAE training losses: PatchGAN discriminator + generator/discriminator
+objectives with adaptive GAN weight.
+
+Reference parity: LPIPSWithDiscriminator (taming/losses/contperceptual.py:33),
+NLayerDiscriminator (taming/losses/model.py:100).  The SEVIR v1 recipe runs
+with perceptual_weight=0 (vae_sevirlr_v1.yaml:76), so LPIPS is optional; an
+LPIPS feature net can be plugged in via ``perceptual_fn``.
+
+TPU-first notes: the adaptive weight ||grad_nll|| / ||grad_g|| wrt the
+decoder's final conv kernel (contperceptual.py:58-68) is computed with two
+in-graph ``jax.grad`` calls on kernel-substituted closures — no autograd mode
+switches; the disc_start warmup gate is arithmetic (step >= threshold), not
+control flow."""
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ActNorm2D(nn.Module):
+    """Affine per-channel norm (ActNorm without data-dependent init; the
+    reference initializes from the first batch — ref model.py:15-97)."""
+
+    num_features: int
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        loc = self.param("loc", nn.initializers.zeros, (1, 1, 1, self.num_features))
+        scale = self.param("scale", nn.initializers.ones, (1, 1, 1, self.num_features))
+        return scale * (x + loc)
+
+
+class NLayerDiscriminator(nn.Module):
+    """Pix2Pix PatchGAN discriminator (NHWC).  Module names main_{i} mirror
+    the torch nn.Sequential indices for checkpoint conversion."""
+
+    input_nc: int = 3
+    ndf: int = 64
+    n_layers: int = 3
+    use_actnorm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw, padw = 4, 1
+        init = nn.initializers.normal(stddev=0.02)  # ref weights_init
+        idx = 0
+        x = nn.Conv(self.ndf, (kw, kw), strides=2, padding=padw,
+                    kernel_init=init, name=f"main_{idx}")(x)
+        idx += 2  # LeakyReLU occupies a Sequential slot
+        x = nn.leaky_relu(x, 0.2)
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2**n, 8)
+            x = nn.Conv(self.ndf * nf_mult, (kw, kw), strides=2, padding=padw,
+                        use_bias=self.use_actnorm, kernel_init=init,
+                        name=f"main_{idx}")(x)
+            idx += 1
+            if self.use_actnorm:
+                x = ActNorm2D(self.ndf * nf_mult, name=f"main_{idx}")(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    name=f"main_{idx}",
+                )(x)
+            idx += 2
+            x = nn.leaky_relu(x, 0.2)
+        nf_mult = min(2**self.n_layers, 8)
+        x = nn.Conv(self.ndf * nf_mult, (kw, kw), strides=1, padding=padw,
+                    use_bias=self.use_actnorm, kernel_init=init, name=f"main_{idx}")(x)
+        idx += 1
+        if self.use_actnorm:
+            x = ActNorm2D(self.ndf * nf_mult, name=f"main_{idx}")(x)
+        else:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"main_{idx}")(x)
+        idx += 2
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(1, (kw, kw), strides=1, padding=padw, kernel_init=init,
+                    name=f"main_{idx}")(x)
+        assert all(s > 0 for s in x.shape), (
+            f"input too small for a {self.n_layers}-layer PatchGAN: "
+            f"logits shape {x.shape}"
+        )
+        return x
+
+
+def hinge_d_loss(logits_real, logits_fake):
+    return 0.5 * (
+        jnp.mean(jax.nn.relu(1.0 - logits_real))
+        + jnp.mean(jax.nn.relu(1.0 + logits_fake))
+    )
+
+
+def vanilla_d_loss(logits_real, logits_fake):
+    return 0.5 * (
+        jnp.mean(jax.nn.softplus(-logits_real)) + jnp.mean(jax.nn.softplus(logits_fake))
+    )
+
+
+def adopt_weight(weight, global_step, threshold: int = 0, value: float = 0.0):
+    """Arithmetic (jit-safe) version of the disc_start gate."""
+    return jnp.where(global_step < threshold, value, weight)
+
+
+def generator_loss(
+    inputs: jnp.ndarray,            # (B, H, W, C) pixels
+    reconstructions: jnp.ndarray,   # (B, H, W, C)
+    posterior_kl: jnp.ndarray,      # (B,) already-reduced KL
+    logvar: jnp.ndarray,            # scalar learned output log-variance
+    logits_fake: jnp.ndarray,       # D(recon)
+    d_weight: jnp.ndarray,          # adaptive weight (precomputed, stop-grad)
+    global_step,
+    disc_start: int,
+    kl_weight: float = 1.0,
+    disc_factor: float = 1.0,
+    perceptual: Optional[jnp.ndarray] = None,
+    perceptual_weight: float = 1.0,
+    split: str = "train",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    batch = inputs.shape[0]
+    rec_loss = jnp.abs(inputs - reconstructions)
+    if perceptual is not None and perceptual_weight > 0:
+        rec_loss = rec_loss + perceptual_weight * perceptual
+    nll_loss = rec_loss / jnp.exp(logvar) + logvar
+    nll_loss = jnp.sum(nll_loss) / batch
+    kl_loss = jnp.sum(posterior_kl) / batch
+    g_loss = -jnp.mean(logits_fake)
+    factor = adopt_weight(disc_factor, global_step, threshold=disc_start)
+    loss = nll_loss + kl_weight * kl_loss + d_weight * factor * g_loss
+    log = {
+        f"{split}/total_loss": loss,
+        f"{split}/logvar": logvar,
+        f"{split}/kl_loss": kl_loss,
+        f"{split}/nll_loss": nll_loss,
+        f"{split}/rec_loss": jnp.mean(rec_loss),
+        f"{split}/d_weight": d_weight,
+        f"{split}/disc_factor": factor,
+        f"{split}/g_loss": g_loss,
+    }
+    return loss, log
+
+
+def discriminator_loss(
+    logits_real: jnp.ndarray,
+    logits_fake: jnp.ndarray,
+    global_step,
+    disc_start: int,
+    disc_factor: float = 1.0,
+    disc_loss: str = "hinge",
+    split: str = "train",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    loss_fn = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
+    factor = adopt_weight(disc_factor, global_step, threshold=disc_start)
+    d_loss = factor * loss_fn(logits_real, logits_fake)
+    log = {
+        f"{split}/disc_loss": d_loss,
+        f"{split}/logits_real": jnp.mean(logits_real),
+        f"{split}/logits_fake": jnp.mean(logits_fake),
+    }
+    return d_loss, log
+
+
+def calculate_adaptive_weight(
+    nll_of_kernel: Callable[[jnp.ndarray], jnp.ndarray],
+    g_of_kernel: Callable[[jnp.ndarray], jnp.ndarray],
+    last_kernel: jnp.ndarray,
+    discriminator_weight: float = 1.0,
+) -> jnp.ndarray:
+    """||d nll / d W_last|| / (||d g / d W_last|| + 1e-4), clipped to [0, 1e4]
+    and stop-gradded (ref contperceptual.py:58-68)."""
+    nll_grads = jax.grad(nll_of_kernel)(last_kernel)
+    g_grads = jax.grad(g_of_kernel)(last_kernel)
+    d_weight = jnp.linalg.norm(nll_grads.ravel()) / (
+        jnp.linalg.norm(g_grads.ravel()) + 1e-4
+    )
+    d_weight = jnp.clip(d_weight, 0.0, 1e4)
+    return jax.lax.stop_gradient(d_weight) * discriminator_weight

@@ -1,0 +1,66 @@
+"""Optimizer / LR-schedule factory mirroring the reference's training recipe
+(scripts/prediff/sevirlr/train_sevirlr_prediff.py:555-590): AdamW with
+linear warmup then cosine decay, global-norm gradient clipping, and
+optax.MultiSteps for gradient accumulation (DDP total_batch_size semantics,
+:666-683)."""
+from typing import Optional
+
+import optax
+
+
+def build_lr_schedule(
+    lr: float,
+    total_num_steps: int,
+    warmup_percentage: float = 0.1,
+    lr_scheduler_mode: str = "cosine",
+    min_lr_ratio: float = 1e-3,
+    warmup_min_lr_ratio: float = 0.1,
+):
+    warmup_steps = max(1, int(total_num_steps * warmup_percentage))
+    warmup = optax.linear_schedule(
+        init_value=lr * warmup_min_lr_ratio, end_value=lr,
+        transition_steps=warmup_steps,
+    )
+    rest = max(1, total_num_steps - warmup_steps)
+    if lr_scheduler_mode == "cosine":
+        decay = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=rest, alpha=min_lr_ratio,
+        )
+    elif lr_scheduler_mode == "constant":
+        decay = optax.constant_schedule(lr)
+    else:
+        raise NotImplementedError(f"lr_scheduler_mode '{lr_scheduler_mode}'")
+    return optax.join_schedules([warmup, decay], boundaries=[warmup_steps])
+
+
+def build_optimizer(
+    lr: float = 1e-3,
+    total_num_steps: int = 100_000,
+    method: str = "adamw",
+    wd: float = 1e-5,
+    betas=(0.9, 0.999),
+    gradient_clip_val: Optional[float] = 1.0,
+    warmup_percentage: float = 0.1,
+    lr_scheduler_mode: str = "cosine",
+    min_lr_ratio: float = 1e-3,
+    warmup_min_lr_ratio: float = 0.1,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    schedule = build_lr_schedule(
+        lr, total_num_steps, warmup_percentage, lr_scheduler_mode,
+        min_lr_ratio, warmup_min_lr_ratio,
+    )
+    if method == "adamw":
+        opt = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+    elif method == "adam":
+        opt = optax.adam(schedule, b1=betas[0], b2=betas[1])
+    else:
+        raise NotImplementedError(f"optimizer '{method}'")
+    parts = []
+    if gradient_clip_val:
+        parts.append(optax.clip_by_global_norm(gradient_clip_val))
+    parts.append(opt)
+    tx = optax.chain(*parts)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx

@@ -40,6 +40,9 @@ DEFAULT_SKIP_SUFFIXES = (
     "lvlb_weights",
     "num_updates",
     "decay",
+    "num_batches_tracked",
+    "running_mean",
+    "running_var",
 )
 
 

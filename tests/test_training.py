@@ -1,0 +1,215 @@
+"""Training-stack tests: EMA, schedules, and all three jitted train loops on
+an 8-virtual-device CPU mesh (data-parallel, the reference's DDP equivalent)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from prediff_tpu.training.ema import ema_update, ema_decay
+from prediff_tpu.training.optim import build_lr_schedule
+from prediff_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def test_ema_decay_ramp():
+    assert float(ema_decay(0.9999, jnp.asarray(0))) == pytest.approx(1 / 10)
+    assert float(ema_decay(0.9999, jnp.asarray(90))) == pytest.approx(91 / 100)
+    assert float(ema_decay(0.9999, jnp.asarray(10**6))) == pytest.approx(0.9999)
+    assert float(ema_decay(0.9999, jnp.asarray(-1))) == pytest.approx(0.9999)
+
+
+def test_ema_update_matches_reference_formula():
+    shadow = {"w": jnp.asarray([1.0, 2.0])}
+    params = {"w": jnp.asarray([3.0, 4.0])}
+    n = 5
+    d = min(0.9999, (1 + n) / (10 + n))
+    new = ema_update(shadow, params, 0.9999, n)
+    expected = np.asarray([1.0, 2.0]) - (1 - d) * (np.asarray([1.0, 2.0]) - np.asarray([3.0, 4.0]))
+    np.testing.assert_allclose(np.asarray(new["w"]), expected, rtol=1e-6)
+
+
+def test_lr_schedule_warmup_cosine():
+    sch = build_lr_schedule(1e-3, total_num_steps=1000, warmup_percentage=0.1,
+                            min_lr_ratio=1e-3, warmup_min_lr_ratio=0.1)
+    assert float(sch(0)) == pytest.approx(1e-4)
+    assert float(sch(100)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sch(1000)) == pytest.approx(1e-6, rel=1e-2)
+    # monotonic up then down
+    vals = [float(sch(i)) for i in range(0, 1001, 50)]
+    peak = int(np.argmax(vals))
+    assert all(vals[i] <= vals[i + 1] + 1e-12 for i in range(peak))
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(peak, len(vals) - 1))
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from prediff_tpu.models.unet import CuboidTransformerUNet
+    from prediff_tpu.models.vae import AutoencoderKL
+    from prediff_tpu.diffusion import LatentDiffusion
+
+    IN_LEN, OUT_LEN, IMG, LAT, LAT_C = 2, 2, 8, 2, 2
+    unet = CuboidTransformerUNet(
+        input_shape=(IN_LEN, LAT, LAT, LAT_C),
+        target_shape=(OUT_LEN, LAT, LAT, LAT_C),
+        base_units=8, depth=[1], block_attn_patterns="full",
+        num_heads=2, padding_type="zeros", ffn_activation="gelu",
+    )
+    vae = AutoencoderKL(
+        in_channels=1, out_channels=1,
+        down_block_types=("DownEncoderBlock2D",) * 3,
+        up_block_types=("UpDecoderBlock2D",) * 3,
+        block_out_channels=(4, 8, 8), layers_per_block=1,
+        latent_channels=LAT_C, norm_num_groups=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, OUT_LEN, LAT, LAT, LAT_C))
+    unet_params = unet.init(rng, x0, jnp.zeros((2,), jnp.int32),
+                            jnp.zeros((2, IN_LEN, LAT, LAT, LAT_C)))["params"]
+    vae_params = vae.init(rng, jnp.zeros((2, IMG, IMG, 1)))["params"]
+    ld = LatentDiffusion(
+        unet_apply=unet.apply,
+        vae_apply_encode=lambda v, x: vae.apply(v, x, method=AutoencoderKL.encode_moments),
+        vae_apply_decode=lambda v, z: vae.apply(v, z, method=AutoencoderKL.decode),
+        timesteps=10,
+        data_shape=(OUT_LEN, IMG, IMG, 1),
+        latent_shape=(OUT_LEN, LAT, LAT, LAT_C),
+        cond_latent_shape=(IN_LEN, LAT, LAT, LAT_C),
+        learn_logvar=True,
+    )
+    return dict(ld=ld, unet=unet, vae=vae, unet_params=unet_params,
+                vae_params=vae_params, IN_LEN=IN_LEN, OUT_LEN=OUT_LEN, IMG=IMG,
+                LAT=LAT, LAT_C=LAT_C)
+
+
+def test_diffusion_train_step_sharded(tiny_setup):
+    from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    trainer = DiffusionTrainer(
+        tiny_setup["ld"], tiny_setup["vae_params"],
+        optim_config=dict(lr=1e-3, total_num_steps=100, warmup_percentage=0.1),
+        mesh=mesh,
+    )
+    state = trainer.create_state(tiny_setup["unet_params"])
+    rng = jax.random.PRNGKey(1)
+    B = 16
+    x = shard_batch(jnp.asarray(np.random.RandomState(0).rand(
+        B, tiny_setup["OUT_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32)), mesh)
+    y = shard_batch(jnp.asarray(np.random.RandomState(1).rand(
+        B, tiny_setup["IN_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32)), mesh)
+    losses = []
+    for _ in range(5):
+        state, metrics = trainer.train_step(state, rng, x, y)
+        losses.append(float(metrics["train/loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 5
+    # EMA shadow differs from live params after updates
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state.ema_params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    # val step runs with EMA params
+    metrics = trainer.val_step(state, rng, x, y)
+    assert np.isfinite(float(metrics["val/loss"]))
+
+
+def test_alignment_train_step(tiny_setup):
+    from prediff_tpu.training.alignment_trainer import AlignmentTrainer
+    from prediff_tpu.models.alignment import NoisyCuboidTransformerEncoder
+    from prediff_tpu.models.vae import AutoencoderKL
+
+    mesh = make_mesh()
+    model = NoisyCuboidTransformerEncoder(
+        input_shape=(tiny_setup["OUT_LEN"], tiny_setup["LAT"], tiny_setup["LAT"],
+                     tiny_setup["LAT_C"]),
+        out_channels=1, base_units=8, depth=[1], block_attn_patterns="full",
+        num_heads=2, padding_type="zeros", readout_seq=True,
+        out_len=tiny_setup["OUT_LEN"], ffn_activation="gelu",
+    )
+    vae = tiny_setup["vae"]
+    trainer = AlignmentTrainer(
+        model_apply=model.apply,
+        vae_apply_encode=lambda v, x: vae.apply(v, x, method=AutoencoderKL.encode_moments),
+        vae_params=tiny_setup["vae_params"],
+        timesteps=10,
+        optim_config=dict(lr=1e-3, total_num_steps=100),
+        mesh=mesh,
+    )
+    rng = jax.random.PRNGKey(2)
+    z0 = jnp.zeros((2, tiny_setup["OUT_LEN"], tiny_setup["LAT"], tiny_setup["LAT"],
+                    tiny_setup["LAT_C"]))
+    params = model.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    state = trainer.create_state(params)
+    B = 8
+    x = shard_batch(jnp.asarray(np.random.RandomState(2).rand(
+        B, tiny_setup["OUT_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1).astype(np.float32)), mesh)
+    y = shard_batch(jnp.asarray(np.random.RandomState(3).rand(
+        B, tiny_setup["IN_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1).astype(np.float32)), mesh)
+    first = None
+    for i in range(10):
+        state, metrics = trainer.train_step(state, rng, x, y)
+        if first is None:
+            first = float(metrics["train_loss"])
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert float(metrics["relative_mae"]) >= 0
+
+
+def test_vae_gan_train_step(tiny_setup):
+    from prediff_tpu.training.vae_trainer import VAETrainer
+    from prediff_tpu.training.losses import NLayerDiscriminator
+
+    mesh = make_mesh()
+    trainer = VAETrainer(
+        vae=tiny_setup["vae"],
+        disc=NLayerDiscriminator(input_nc=1, ndf=8, n_layers=1),
+        disc_start=2,  # kick in quickly to exercise the GAN path
+        kl_weight=1e-6,
+        disc_weight=0.5,
+        optim_config=dict(lr=1e-4, total_num_steps=100),
+        mesh=mesh,
+    )
+    rng = jax.random.PRNGKey(3)
+    sample = jnp.zeros((2, tiny_setup["IMG"], tiny_setup["IMG"], 1))
+    gen_state, disc_state, batch_stats = trainer.create_states(rng, sample)
+    B = 8
+    x = shard_batch(jnp.asarray(np.random.RandomState(5).rand(
+        B, tiny_setup["IMG"], tiny_setup["IMG"], 1).astype(np.float32)), mesh)
+    for i in range(4):
+        gen_state, disc_state, batch_stats, logs = trainer.train_step(
+            gen_state, disc_state, batch_stats, rng, x
+        )
+    assert np.isfinite(float(logs["train/total_loss"]))
+    assert np.isfinite(float(logs["train/disc_loss"]))
+    assert float(logs["train/d_weight"]) >= 0
+    assert float(logs["train/disc_factor"]) == 1.0  # past disc_start
+    assert int(gen_state.step) == 4 and int(disc_state.step) == 4
+
+
+def test_discriminator_parity_vs_reference():
+    from conftest import reference_available, import_reference
+
+    if not reference_available():
+        pytest.skip("reference not present")
+    import_reference()
+    import torch
+    from prediff.taming.losses.model import NLayerDiscriminator as RefDisc
+    from prediff_tpu.training.losses import NLayerDiscriminator
+    from prediff_tpu.utils.convert import convert_torch_state_dict
+
+    torch.manual_seed(0)
+    ref = RefDisc(input_nc=1, ndf=8, n_layers=3).eval()
+    ours = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=3)
+    x = np.random.RandomState(6).randn(2, 32, 32, 1).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    params = convert_torch_state_dict(ref.state_dict(), variables["params"])
+    got = ours.apply(
+        {"params": params, "batch_stats": variables.get("batch_stats", {})},
+        jnp.asarray(x), train=False,
+    )
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(
+        np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-4
+    )
