@@ -1,0 +1,644 @@
+"""SEVIR / SEVIR-LR data pipeline (host-side numpy + h5py, torch-free).
+
+Reference parity: SEVIRDataLoader (src/prediff/datasets/sevir/sevir_dataloader.py:87),
+SEVIRTorchDataset / SEVIRLightningDataModule (sevir_torch_wrap.py:72,162).
+
+Catalog-driven event loading over HDF5 files; each raw event (25 frames in
+SEVIR-LR, 49 in SEVIR) splits into windows of ``seq_len`` with ``stride``;
+manual sharding (num_shard/rank/split_mode) supports multi-host input
+(ref :107-155, 329-358).  VIL is rescaled to [0, 1] ('01') or with the
+original offsets ('sevir').  Output layout defaults to NTHWC (TPU).
+"""
+import datetime
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+try:
+    import pandas as pd
+except ImportError:  # pragma: no cover
+    pd = None
+
+
+SEVIR_DATA_TYPES = ["vis", "ir069", "ir107", "vil", "lght"]
+SEVIR_RAW_DTYPES = {
+    "vis": np.int16, "ir069": np.int16, "ir107": np.int16,
+    "vil": np.uint8, "lght": np.int16,
+}
+LIGHTING_FRAME_TIMES = np.arange(-120.0, 125.0, 5) * 60
+SEVIR_DATA_SHAPE = {"lght": (48, 48)}
+PREPROCESS_SCALE_SEVIR = {
+    "vis": 1, "ir069": 1 / 1174.68, "ir107": 1 / 2562.43,
+    "vil": 1 / 47.54, "lght": 1 / 0.60517,
+}
+PREPROCESS_OFFSET_SEVIR = {
+    "vis": 0, "ir069": 3683.58, "ir107": 1552.80, "vil": -33.44, "lght": -0.02990,
+}
+PREPROCESS_SCALE_01 = {"vis": 1, "ir069": 1, "ir107": 1, "vil": 1 / 255, "lght": 1}
+PREPROCESS_OFFSET_01 = {"vis": 0, "ir069": 0, "ir107": 0, "vil": 0, "lght": 0}
+
+SEVIR_RAW_SEQ_LEN = 49
+SEVIR_LR_RAW_SEQ_LEN = 25
+
+_LAYOUT_FROM_NHWT = {
+    # raw storage layout is NHWT (C=1 squeezed in)
+    "NHWT": (0, 1, 2, 3),
+    "NTHW": (0, 3, 1, 2),
+    "TNHW": (3, 0, 1, 2),
+}
+
+
+def change_layout(data: np.ndarray, in_layout: str = "NHWT",
+                  out_layout: str = "NHWT") -> np.ndarray:
+    """Permute between layouts; 'C' denotes a singleton channel axis."""
+    src = in_layout.replace("C", "")
+    dst = out_layout.replace("C", "")
+    perm = [src.index(a) for a in dst]
+    data = np.transpose(data, perm)
+    if "C" in out_layout:
+        data = np.expand_dims(data, axis=out_layout.index("C"))
+    return data
+
+
+def max_pool_downsample(data: np.ndarray, factors, layout: str = "NHWT") -> np.ndarray:
+    """Max-pool (t, h, w) by integer factors — runtime downsampling
+    (ref :703-745 uses torch avg_pool2d for h/w + strided t; SEVIR-LR official
+    downsampling uses block max, downsample_sevir.py)."""
+    t_axis = layout.find("T")
+    h_axis = layout.find("H")
+    w_axis = layout.find("W")
+    tf, hf, wf = factors
+    slicer = [slice(None)] * data.ndim
+    slicer[t_axis] = slice(None, None, tf)
+    data = data[tuple(slicer)]
+    # block-reduce h and w
+    for axis, f in ((h_axis, hf), (w_axis, wf)):
+        if f == 1:
+            continue
+        n = data.shape[axis] // f
+        data = np.take(data, np.arange(n * f), axis=axis)
+        new_shape = list(data.shape)
+        new_shape[axis:axis + 1] = [n, f]
+        data = data.reshape(new_shape).max(axis=axis + 1)
+    return data
+
+
+class SEVIRDataLoader:
+    """Catalog-driven sharded loader over SEVIR HDF5 files."""
+
+    def __init__(
+        self,
+        data_types: Optional[Sequence[str]] = None,
+        seq_len: int = 49,
+        raw_seq_len: int = 49,
+        sample_mode: str = "sequent",
+        stride: int = 12,
+        batch_size: int = 1,
+        layout: str = "NHWT",
+        num_shard: int = 1,
+        rank: int = 0,
+        split_mode: str = "uneven",
+        sevir_catalog: Union[str, "pd.DataFrame", None] = None,
+        sevir_data_dir: Optional[str] = None,
+        start_date: Optional[datetime.datetime] = None,
+        end_date: Optional[datetime.datetime] = None,
+        datetime_filter: Optional[Callable] = None,
+        catalog_filter: Union[str, Callable, None] = "default",
+        shuffle: bool = False,
+        shuffle_seed: int = 1,
+        output_type=np.float32,
+        preprocess: bool = True,
+        rescale_method: str = "01",
+        downsample_dict: Optional[Dict[str, Sequence[int]]] = None,
+        verbose: bool = False,
+    ):
+        assert h5py is not None and pd is not None, "h5py + pandas required"
+        data_types = list(data_types or ["vil"])
+        assert set(data_types).issubset(SEVIR_DATA_TYPES)
+        assert seq_len <= raw_seq_len
+        assert sample_mode in ("random", "sequent")
+        assert split_mode in ("ceil", "floor", "uneven")
+        assert layout.replace("C", "") in ("NHWT", "NTHW", "TNHW") or layout in (
+            "NTHWC", "NTCHW", "TNCHW", "NHWT",
+        )
+        self.data_types = data_types
+        self.seq_len = seq_len
+        self.raw_seq_len = raw_seq_len
+        self.sample_mode = sample_mode
+        self.stride = stride
+        self.batch_size = batch_size
+        self.layout = layout
+        self.num_shard = num_shard
+        self.rank = rank
+        self.split_mode = split_mode
+        self.lght_frame_times = LIGHTING_FRAME_TIMES
+        self.data_shape = SEVIR_DATA_SHAPE
+        self.output_type = output_type
+        self.preprocess = preprocess
+        self.rescale_method = rescale_method
+        self.downsample_dict = downsample_dict
+        self.shuffle = shuffle
+        self.shuffle_seed = int(shuffle_seed)
+        self.verbose = verbose
+
+        if isinstance(sevir_catalog, str):
+            self.catalog = pd.read_csv(sevir_catalog, parse_dates=["time_utc"],
+                                       low_memory=False)
+        else:
+            self.catalog = sevir_catalog
+        self.sevir_data_dir = sevir_data_dir
+
+        if start_date is not None:
+            self.catalog = self.catalog[self.catalog.time_utc > start_date]
+        if end_date is not None:
+            self.catalog = self.catalog[self.catalog.time_utc <= end_date]
+        if datetime_filter is not None:
+            self.catalog = self.catalog[datetime_filter(self.catalog.time_utc)]
+        if catalog_filter is not None:
+            if catalog_filter == "default":
+                catalog_filter = lambda c: c.pct_missing == 0  # noqa: E731
+            self.catalog = self.catalog[catalog_filter(self.catalog)]
+
+        self._hdf_files: Dict[str, "h5py.File"] = {}
+        self._samples = None
+        self._compute_samples()
+        self._open_files(verbose=verbose)
+        self.reset()
+
+    # ------------------------------------------------------------ #
+    def _compute_samples(self):
+        imgt = self.data_types
+        imgts = set(imgt)
+        cat = self.catalog
+        filtcat = cat[np.logical_or.reduce([cat.img_type == i for i in imgt])]
+        filtcat = filtcat.groupby("id").filter(lambda x: imgts.issubset(set(x["img_type"])))
+        filtcat = filtcat.groupby("id").filter(lambda x: x.shape[0] == len(imgt))
+        self._samples = filtcat.groupby("id").apply(
+            lambda df: self._df_to_series(df, imgt)
+        )
+        if self.shuffle:
+            self.shuffle_samples()
+
+    def shuffle_samples(self):
+        self._samples = self._samples.sample(frac=1, random_state=self.shuffle_seed)
+
+    def _df_to_series(self, df, imgt):
+        d = {}
+        df = df.set_index("img_type")
+        for i in imgt:
+            s = df.loc[i]
+            idx = s.file_index if i != "lght" else s.id
+            d.update({f"{i}_filename": [s.file_name], f"{i}_index": [idx]})
+        return pd.DataFrame(d)
+
+    def _open_files(self, verbose=False):
+        hdf_filenames = []
+        for t in self.data_types:
+            hdf_filenames += list(np.unique(self._samples[f"{t}_filename"].values))
+        self._hdf_files = {}
+        for f in hdf_filenames:
+            if verbose:
+                print("Opening HDF5 file for reading", f)
+            self._hdf_files[f] = h5py.File(os.path.join(self.sevir_data_dir, f), "r")
+
+    def close(self):
+        for f in self._hdf_files:
+            self._hdf_files[f].close()
+        self._hdf_files = {}
+
+    # ------------------------------------------------------------ #
+    @property
+    def num_seq_per_event(self) -> int:
+        return 1 + (self.raw_seq_len - self.seq_len) // self.stride
+
+    @property
+    def total_num_seq(self) -> int:
+        return int(self.num_seq_per_event * self.num_event)
+
+    @property
+    def total_num_event(self) -> int:
+        return int(self._samples.shape[0])
+
+    @property
+    def start_event_idx(self) -> int:
+        return self.total_num_event // self.num_shard * self.rank
+
+    @property
+    def end_event_idx(self) -> int:
+        if self.split_mode == "ceil":
+            last_start = self.total_num_event // self.num_shard * (self.num_shard - 1)
+            return self.start_event_idx + (self.total_num_event - last_start)
+        if self.split_mode == "floor":
+            return self.total_num_event // self.num_shard * (self.rank + 1)
+        if self.rank == self.num_shard - 1:
+            return self.total_num_event
+        return self.total_num_event // self.num_shard * (self.rank + 1)
+
+    @property
+    def num_event(self) -> int:
+        return self.end_event_idx - self.start_event_idx
+
+    def __len__(self) -> int:
+        """Number of batches per epoch in this shard."""
+        return self.total_num_seq // self.batch_size
+
+    # ------------------------------------------------------------ #
+    def _read_data(self, row: Dict, data: Dict) -> Dict:
+        imgtyps = np.unique([x.split("_")[0] for x in row.keys()])
+        for t in imgtyps:
+            fname = row[f"{t}_filename"]
+            idx = row[f"{t}_index"]
+            t_slice = slice(0, None)
+            if t == "lght":
+                lght_data = self._hdf_files[fname][idx][:]
+                data_i = self._lght_to_grid(lght_data, t_slice)
+            else:
+                data_i = self._hdf_files[fname][t][idx:idx + 1, :, :, t_slice]
+            data[t] = np.concatenate((data[t], data_i), axis=0) if t in data else data_i
+        return data
+
+    def _lght_to_grid(self, data, t_slice=slice(0, None)):
+        """Rasterize an Nx5 lightning-strike matrix to per-frame pixel counts
+        (ref :391-431)."""
+        out_size = (
+            (*self.data_shape["lght"], len(self.lght_frame_times))
+            if t_slice.stop is None else (*self.data_shape["lght"], 1)
+        )
+        if data.shape[0] == 0:
+            return np.zeros((1,) + out_size, dtype=np.float32)
+        x, y = data[:, 3], data[:, 4]
+        m = np.logical_and.reduce(
+            [x >= 0, x < out_size[0], y >= 0, y < out_size[1]]
+        )
+        data = data[m, :]
+        if data.shape[0] == 0:
+            return np.zeros((1,) + out_size, dtype=np.float32)
+        t = data[:, 0]
+        if t_slice.stop is not None:
+            if t_slice.stop > 0:
+                if t_slice.stop < len(self.lght_frame_times):
+                    tm = np.logical_and(
+                        t >= self.lght_frame_times[t_slice.stop - 1],
+                        t < self.lght_frame_times[t_slice.stop],
+                    )
+                else:
+                    tm = t >= self.lght_frame_times[-1]
+            else:
+                tm = np.logical_and(
+                    t >= self.lght_frame_times[0], t < self.lght_frame_times[1]
+                )
+            data = data[tm, :]
+            z = np.zeros(data.shape[0], dtype=np.int64)
+        else:
+            z = np.digitize(t, self.lght_frame_times) - 1
+            z[z == -1] = 0
+        x = data[:, 3].astype(np.int64)
+        y = data[:, 4].astype(np.int64)
+        k = np.ravel_multi_index(np.array([y, x, z]), out_size)
+        n = np.bincount(k, minlength=int(np.prod(out_size)))
+        return np.reshape(n, out_size).astype(np.int16)[np.newaxis, :]
+
+    def _load_event_batch(self, event_idx: int, event_batch_size: int):
+        """Load a contiguous range of events; indices past the shard end are
+        padded with zeros (ref :541-607)."""
+        event_idx_slice_end = event_idx + event_batch_size
+        pad_size = 0
+        if event_idx_slice_end > self.end_event_idx:
+            pad_size = event_idx_slice_end - self.end_event_idx
+            event_idx_slice_end = self.end_event_idx
+        pd_batch = self._samples.iloc[event_idx:event_idx_slice_end]
+        data = {}
+        for index, row in pd_batch.iterrows():
+            data = self._read_data(row, data)
+        if pad_size > 0:
+            event_batch = []
+            for t in self.data_types:
+                pad_shape = (pad_size,) + tuple(data[t].shape[1:])
+                data_pad = np.concatenate(
+                    (data[t].astype(self.output_type),
+                     np.zeros(pad_shape, dtype=self.output_type)),
+                    axis=0,
+                )
+                event_batch.append(data_pad)
+        else:
+            event_batch = [data[t].astype(self.output_type) for t in self.data_types]
+        return event_batch
+
+    # ------------------------------------------------------------ #
+    @staticmethod
+    def preprocess_data_dict(data_dict, data_types=None, layout="NHWT", rescale="01"):
+        if rescale == "sevir":
+            scale_dict, offset_dict = PREPROCESS_SCALE_SEVIR, PREPROCESS_OFFSET_SEVIR
+        elif rescale == "01":
+            scale_dict, offset_dict = PREPROCESS_SCALE_01, PREPROCESS_OFFSET_01
+        else:
+            raise ValueError(f"Invalid rescale option: {rescale}.")
+        if data_types is None:
+            data_types = list(data_dict.keys())
+        for key, data in data_dict.items():
+            if key in data_types:
+                data = data.astype(np.float32)
+                data = change_layout(
+                    scale_dict[key] * (data + offset_dict[key]),
+                    in_layout="NHWT", out_layout=layout,
+                )
+                data_dict[key] = data
+        return data_dict
+
+    @staticmethod
+    def process_data_dict_back(data_dict, data_types=None, rescale="01"):
+        if rescale == "sevir":
+            scale_dict, offset_dict = PREPROCESS_SCALE_SEVIR, PREPROCESS_OFFSET_SEVIR
+        elif rescale == "01":
+            scale_dict, offset_dict = PREPROCESS_SCALE_01, PREPROCESS_OFFSET_01
+        else:
+            raise ValueError(f"Invalid rescale option: {rescale}.")
+        if data_types is None:
+            data_types = list(data_dict.keys())
+        for key in data_types:
+            data_dict[key] = data_dict[key] / scale_dict[key] - offset_dict[key]
+        return data_dict
+
+    def downsample_data_dict(self, data_dict, data_types=None, factors_dict=None,
+                             layout="NHWT"):
+        if factors_dict is None:
+            return data_dict
+        if data_types is None:
+            data_types = list(data_dict.keys())
+        for key in data_types:
+            if key in factors_dict:
+                data_dict[key] = max_pool_downsample(
+                    data_dict[key], factors_dict[key], layout=layout
+                )
+        return data_dict
+
+    # ------------------------------------------------------------ #
+    def reset(self, shuffle: Optional[bool] = None):
+        self._curr_event_idx = self.start_event_idx
+        self._curr_seq_idx = 0
+        shuffle = self.shuffle if shuffle is None else shuffle
+        if shuffle:
+            self.shuffle_samples()
+        self._rng = np.random.default_rng(self.shuffle_seed + self.rank)
+
+    def __iter__(self):
+        self.reset(shuffle=self.shuffle)
+        for i in range(len(self)):
+            yield self._idx_sample(i + self.start_event_idx * self.num_seq_per_event
+                                   // self.batch_size)
+
+    def _random_sample(self):
+        """One random batch (ref :747-780)."""
+        ret_dict = {}
+        for _ in range(self.batch_size):
+            event_idx = self._rng.integers(self.start_event_idx, self.end_event_idx)
+            seq_start = self._rng.integers(0, self.raw_seq_len - self.seq_len + 1)
+            event = self._load_event_batch(event_idx, 1)
+            for imgt_idx, imgt in enumerate(self.data_types):
+                seq = event[imgt_idx][:, :, :, seq_start:seq_start + self.seq_len]
+                ret_dict[imgt] = (
+                    np.concatenate((ret_dict[imgt], seq), axis=0)
+                    if imgt in ret_dict else seq
+                )
+        return self._finalize(ret_dict)
+
+    def _idx_sample(self, index: int):
+        """Batch by global window index (map-style access, ref :834-891)."""
+        event_idx = (index * self.batch_size) // self.num_seq_per_event
+        seq_idx = (index * self.batch_size) % self.num_seq_per_event
+        sampled = []
+        for _ in range(self.batch_size):
+            sampled.append((event_idx, seq_idx))
+            seq_idx += 1
+            if seq_idx >= self.num_seq_per_event:
+                event_idx += 1
+                seq_idx = 0
+        start_event_idx = sampled[0][0]
+        event_batch_size = sampled[-1][0] - start_event_idx + 1
+        event_batch = self._load_event_batch(start_event_idx, event_batch_size)
+        ret_dict = {}
+        for ev, sq in sampled:
+            batch_slice = [ev - start_event_idx]
+            seq_slice = slice(sq * self.stride, sq * self.stride + self.seq_len)
+            for imgt_idx, imgt in enumerate(self.data_types):
+                seq = event_batch[imgt_idx][batch_slice, :, :, seq_slice]
+                ret_dict[imgt] = (
+                    np.concatenate((ret_dict[imgt], seq), axis=0)
+                    if imgt in ret_dict else seq
+                )
+        return self._finalize(ret_dict)
+
+    def _finalize(self, ret_dict):
+        if self.preprocess:
+            ret_dict = self.preprocess_data_dict(
+                ret_dict, data_types=self.data_types, layout=self.layout,
+                rescale=self.rescale_method,
+            )
+        if self.downsample_dict is not None:
+            ret_dict = self.downsample_data_dict(
+                ret_dict, data_types=self.data_types,
+                factors_dict=self.downsample_dict, layout=self.layout,
+            )
+        return ret_dict
+
+    def save_downsampled_dataset(self, save_dir: str,
+                                 downsample_dict: Dict[str, Sequence[int]],
+                                 verbose=True):
+        """Offline SEVIR -> SEVIR-LR writer (block-max over t/h/w factors;
+        ref :433-476, scripts/datasets/sevir/downsample_sevir.py)."""
+        assert not os.path.exists(save_dir), f"save_dir {save_dir} exists"
+        os.makedirs(save_dir)
+        for fname, hdf_file in self._hdf_files.items():
+            data_type = fname.replace("\\", "/").split("/")[0]
+            if data_type == "lght":
+                raise NotImplementedError("lght downsampling not supported")
+            if verbose:
+                print(f"Downsampling data in {fname}.")
+            data_i = hdf_file[data_type]
+            tf = downsample_dict[data_type][0]
+            data_i = data_i[:, :, :, ::tf]
+            hf_, wf_ = downsample_dict[data_type][1:]
+            N, H, W, T = data_i.shape
+            data_i = (
+                data_i[:, : H // hf_ * hf_, : W // wf_ * wf_, :]
+                .reshape(N, H // hf_, hf_, W // wf_ * wf_, T)
+                .max(axis=2)
+                .reshape(N, H // hf_, W // wf_, wf_, T)
+                .max(axis=3)
+            )
+            new_file_path = os.path.join(save_dir, fname)
+            os.makedirs(os.path.dirname(new_file_path), exist_ok=True)
+            with h5py.File(new_file_path, "w") as hf:
+                hf.create_dataset(data_type, data=data_i,
+                                  maxshape=(None, *data_i.shape[1:]))
+
+
+class SEVIRDataset:
+    """Map-style dataset of single sequences (vil only), with augmentation.
+
+    Parity: SEVIRTorchDataset (sevir_torch_wrap.py:72).  aug_mode:
+      "0" none; "1" flips + free-angle rotation; "2" flips + 90-degree rots.
+    """
+
+    def __init__(self, sevir_dataloader: SEVIRDataLoader, seed: int = 0,
+                 aug_mode: str = "0", ret_contiguous: bool = True):
+        self.loader = sevir_dataloader
+        self.aug_mode = aug_mode
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.loader.total_num_seq // self.loader.batch_size
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        from .augmentation import augment_seq
+
+        data_dict = self.loader._idx_sample(index=index)
+        data = data_dict["vil"].squeeze(0)  # layout without N
+        if self.aug_mode != "0":
+            data = augment_seq(data, self.loader.layout.replace("N", ""),
+                               self.aug_mode, self.rng)
+        return data
+
+
+class SEVIRDataModule:
+    """Train/val/test split by dates + val_ratio (parity:
+    SEVIRLightningDataModule, sevir_torch_wrap.py:162) producing batched
+    numpy arrays ready for jax.device_put."""
+
+    def __init__(
+        self,
+        seq_len: int = 13,
+        sample_mode: str = "sequent",
+        stride: int = 6,
+        layout: str = "NTHWC",
+        output_type=np.float32,
+        preprocess: bool = True,
+        rescale_method: str = "01",
+        verbose: bool = False,
+        aug_mode: str = "0",
+        dataset_name: str = "sevirlr",
+        sevir_dir: Optional[str] = None,
+        start_date=None,
+        train_test_split_date=(2019, 6, 1),
+        end_date=None,
+        val_ratio: float = 0.1,
+        batch_size: int = 1,
+        seed: int = 0,
+        num_shard: int = 1,
+        rank: int = 0,
+    ):
+        self.dataset_name = dataset_name
+        self.sevir_dir = sevir_dir
+        if dataset_name == "sevir":
+            self.raw_seq_len = SEVIR_RAW_SEQ_LEN
+        elif dataset_name == "sevirlr":
+            self.raw_seq_len = SEVIR_LR_RAW_SEQ_LEN
+        else:
+            raise ValueError(f"unknown dataset '{dataset_name}'")
+        self.catalog_path = os.path.join(sevir_dir, "CATALOG.csv")
+        self.data_dir = os.path.join(sevir_dir, "data")
+        self.seq_len = seq_len
+        self.sample_mode = sample_mode
+        self.stride = stride
+        self.layout = layout
+        self.output_type = output_type
+        self.preprocess = preprocess
+        self.rescale_method = rescale_method
+        self.verbose = verbose
+        self.aug_mode = aug_mode
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_shard = num_shard
+        self.rank = rank
+        self.start_date = (
+            datetime.datetime(*start_date) if start_date is not None else None
+        )
+        self.train_test_split_date = (
+            datetime.datetime(*train_test_split_date)
+            if train_test_split_date is not None else None
+        )
+        self.end_date = datetime.datetime(*end_date) if end_date is not None else None
+        self.val_ratio = val_ratio
+        self._train = self._val = self._test = None
+
+    def _make_loader(self, start, end, shuffle: bool) -> SEVIRDataLoader:
+        return SEVIRDataLoader(
+            data_types=["vil"],
+            seq_len=self.seq_len,
+            raw_seq_len=self.raw_seq_len,
+            sample_mode=self.sample_mode,
+            stride=self.stride,
+            batch_size=1,
+            layout="NTHWC",
+            num_shard=self.num_shard,
+            rank=self.rank,
+            sevir_catalog=self.catalog_path,
+            sevir_data_dir=self.data_dir,
+            start_date=start,
+            end_date=end,
+            shuffle=shuffle,
+            shuffle_seed=self.seed,
+            output_type=self.output_type,
+            preprocess=self.preprocess,
+            rescale_method=self.rescale_method,
+            verbose=self.verbose,
+        )
+
+    def setup(self):
+        trainval = self._make_loader(self.start_date, self.train_test_split_date, False)
+        self._test = self._make_loader(self.train_test_split_date, self.end_date, False)
+        # date-bounded train pool split into train/val by window index
+        n = len(trainval)
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(n)
+        n_val = int(n * self.val_ratio)
+        self._trainval = trainval
+        self._val_indices = np.sort(perm[:n_val])
+        self._train_indices = np.sort(perm[n_val:])
+
+    @property
+    def num_train_samples(self):
+        return len(self._train_indices)
+
+    @property
+    def num_val_samples(self):
+        return len(self._val_indices)
+
+    @property
+    def num_test_samples(self):
+        return len(self._test)
+
+    def _iter_batches(self, loader, indices, shuffle, aug, seed):
+        rng = np.random.default_rng(seed)
+        ds = SEVIRDataset(loader, seed=seed, aug_mode=aug if aug else "0")
+        order = rng.permutation(len(indices)) if shuffle else np.arange(len(indices))
+        batch = []
+        for j in order:
+            batch.append(ds[int(indices[j])])
+            if len(batch) == self.batch_size:
+                yield np.stack(batch, axis=0)
+                batch = []
+        # drop_last=False for eval parity: emit the remainder
+        if batch and not shuffle:
+            yield np.stack(batch, axis=0)
+
+    def train_batches(self, epoch_seed: int = 0):
+        yield from self._iter_batches(
+            self._trainval, self._train_indices, True, self.aug_mode,
+            self.seed + epoch_seed,
+        )
+
+    def val_batches(self):
+        yield from self._iter_batches(self._trainval, self._val_indices, False,
+                                      "0", self.seed)
+
+    def test_batches(self):
+        yield from self._iter_batches(
+            self._test, np.arange(len(self._test)), False, "0", self.seed
+        )

@@ -1,0 +1,9 @@
+from .skill_scores import SEVIRSkillScore, threshold_counts
+from .metrics import (
+    MeanMetric,
+    mse,
+    mae,
+    ssim,
+    crps_ensemble,
+    pearson_corr,
+)

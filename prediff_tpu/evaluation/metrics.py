@@ -1,0 +1,102 @@
+"""Generic eval metrics: MSE/MAE/SSIM (+ ensemble CRPS, Pearson) in pure JAX.
+
+Parity: the reference uses torchmetrics MeanSquaredError/MeanAbsoluteError/
+StructuralSimilarityIndexMeasure (train_sevirlr_prediff.py:219-269); SSIM here
+follows the standard Wang et al. formulation with an 11x11 uniform window
+(torchmetrics default is gaussian_kernel=False -> uniform, kernel 11,
+data_range inferred; we take data_range=1.0 for [0,1] VIL).
+CRPS is the fair ensemble estimator — part of the rebuild's north-star
+metric suite (BASELINE.md)."""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MeanMetric:
+    """Streaming mean with explicit (total, count) state — the functional
+    replacement for torchmetrics' dist_reduce_fx='sum' accumulators."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.total = 0.0
+        self.count = 0.0
+
+    def update(self, value: jnp.ndarray, weight: float = 1.0):
+        self.total += float(jnp.sum(value))
+        self.count += float(weight) * value.size
+
+    def compute(self) -> float:
+        return self.total / max(self.count, 1e-12)
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(pred - target))
+
+
+def mae(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def _uniform_filter_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Valid-mode k x k mean filter over (B, H, W, C)."""
+    kernel = jnp.ones((k, k, 1, 1), x.dtype) / (k * k)
+    C = x.shape[-1]
+    kernel = jnp.tile(kernel, (1, 1, 1, C))
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+
+
+def ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """SSIM over (B, H, W, C) frames, uniform window, mean-reduced."""
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    mu_x = _uniform_filter_2d(pred, kernel_size)
+    mu_y = _uniform_filter_2d(target, kernel_size)
+    mu_xx = _uniform_filter_2d(pred * pred, kernel_size)
+    mu_yy = _uniform_filter_2d(target * target, kernel_size)
+    mu_xy = _uniform_filter_2d(pred * target, kernel_size)
+    n = kernel_size * kernel_size
+    cov_norm = n / (n - 1)
+    sigma_x = cov_norm * (mu_xx - mu_x * mu_x)
+    sigma_y = cov_norm * (mu_yy - mu_y * mu_y)
+    sigma_xy = cov_norm * (mu_xy - mu_x * mu_y)
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.mean(num / den)
+
+
+def crps_ensemble(
+    ensemble: jnp.ndarray,  # (M, ...) ensemble members
+    target: jnp.ndarray,    # (...)
+    fair: bool = True,
+) -> jnp.ndarray:
+    """Ensemble CRPS: E|X - y| - 0.5 * E|X - X'| (fair: /(M(M-1)); else /M^2),
+    mean over all target elements."""
+    M = ensemble.shape[0]
+    term1 = jnp.mean(jnp.abs(ensemble - target[None]), axis=0)
+    diffs = jnp.abs(ensemble[:, None] - ensemble[None, :])  # (M, M, ...)
+    denom = M * (M - 1) if fair and M > 1 else M * M
+    term2 = 0.5 * jnp.sum(diffs, axis=(0, 1)) / denom
+    return jnp.mean(term1 - term2)
+
+
+def pearson_corr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    p = pred.ravel() - pred.mean()
+    t = target.ravel() - target.mean()
+    return jnp.sum(p * t) / (
+        jnp.sqrt(jnp.sum(p * p)) * jnp.sqrt(jnp.sum(t * t)) + 1e-12
+    )

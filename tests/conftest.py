@@ -53,3 +53,26 @@ def import_reference():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tv_models
         sys.modules["torchvision.transforms"] = tv_transforms
+
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+
+        class _Metric:
+            """Just enough of torchmetrics.Metric for the reference's
+            SEVIRSkillScore: add_state -> plain attributes, update/compute
+            called directly."""
+
+            full_state_update = True
+
+            def __init__(self, *a, **k):
+                pass
+
+            def add_state(self, name, default=None, dist_reduce_fx=None):
+                setattr(self, name, default)
+
+            def __call__(self, *a, **k):
+                self.update(*a, **k)
+                return self.compute()
+
+        tm.Metric = _Metric
+        sys.modules["torchmetrics"] = tm
