@@ -283,11 +283,18 @@ class LatentDiffusion:
 
         step = ddpm_step if sampler == "ddpm" else ddim_step
 
+        # Everything — x_T generation, cond encode, the reverse scan, decode —
+        # lives inside ONE jit so a sample() call is a single device dispatch
+        # (eager per-call ops are pathological on remote/tunneled devices).
         @jax.jit
         def sample_fn(unet_params, vae_params, align_params, rng, y,
-                      avg_x_gt, x_T, mask, x0):
+                      avg_x_gt=None, x_T=None, mask=None, x0=None):
+            rng_init, rng_loop = jax.random.split(rng)
+            z = (
+                jax.random.normal(rng_init, latent_shape, jnp.float32)
+                if x_T is None else x_T
+            )
             zc = self.cond_stage_forward(vae_params, y)
-            z = x_T
             intermediates = []
             for seg in segments:
                 seg_arr = jnp.asarray(seg)
@@ -295,7 +302,7 @@ class LatentDiffusion:
                 def body(carry, t_scalar):
                     z = carry
                     z = step(unet_params, align_params, zc, y, avg_x_gt,
-                             mask, x0, rng, z, t_scalar)
+                             mask, x0, rng_loop, z, t_scalar)
                     return z, None
 
                 z, _ = jax.lax.scan(body, z, seg_arr)
@@ -354,19 +361,14 @@ class LatentDiffusion:
             self._jit_cache[key] = self._build_sample_fn(*key)
         fn = self._jit_cache[key]
 
-        rng_init, rng_loop = jax.random.split(rng)
-        if x_T is None:
-            x_T = jax.random.normal(rng_init, (batch_size,) + self.latent_shape)
-        zeros = jnp.zeros((batch_size,) + self.latent_shape)
-        avg_x_gt = (alignment_kwargs or {}).get("avg_x_gt", jnp.zeros((batch_size, 1)))
         out, inter = fn(
             unet_params, vae_params,
             align_params if align_params is not None else (
                 self.alignment.params if self.alignment else 0
             ),
-            rng_loop, y, avg_x_gt, x_T,
-            mask if mask is not None else zeros,
-            x0 if x0 is not None else zeros,
+            rng, y,
+            avg_x_gt=(alignment_kwargs or {}).get("avg_x_gt"),
+            x_T=x_T, mask=mask, x0=x0,
         )
         if return_intermediates:
             return out, inter

@@ -1,0 +1,139 @@
+"""Generic training loop: epochs over a datamodule, periodic validation,
+orbax checkpointing (top-k by monitor + save-last), jsonl metric logging,
+early stopping — the TPU-native replacement for the reference's Lightning
+Trainer + ModelCheckpoint/EarlyStopping callbacks (SURVEY.md §5)."""
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+
+class MetricLogger:
+    """Append-only jsonl logger + optional TensorBoard."""
+
+    def __init__(self, save_dir: str, use_tensorboard: bool = False):
+        os.makedirs(save_dir, exist_ok=True)
+        self.path = os.path.join(save_dir, "metrics.jsonl")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # noqa
+
+                self._tb = SummaryWriter(save_dir)
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, metrics: Dict[str, Any], prefix: str = ""):
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            key = f"{prefix}{k}"
+            try:
+                rec[key] = float(v)
+            except (TypeError, ValueError):
+                continue
+            if self._tb is not None:
+                self._tb.add_scalar(key, rec[key], step)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+class CheckpointTracker:
+    """save_top_k by a monitored metric + always-save-last (parity with
+    Lightning ModelCheckpoint semantics used by the reference)."""
+
+    def __init__(self, save_dir: str, monitor: str = "val/loss",
+                 mode: str = "min", save_top_k: int = 3):
+        self.save_dir = save_dir
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self.best: list = []  # (score, step)
+
+    def is_improvement(self, score: float) -> bool:
+        if len(self.best) < self.save_top_k:
+            return True
+        worst = max(self.best)[0] if self.mode == "min" else -max(
+            (-s, st) for s, st in self.best
+        )[0]
+        return score < worst if self.mode == "min" else score > worst
+
+    def update(self, score: float, step: int, state: Any):
+        from ..utils.checkpoint import save_checkpoint
+
+        self.best.append((score if self.mode == "min" else -score, step))
+        self.best.sort()
+        self.best = self.best[: self.save_top_k]
+        save_checkpoint(os.path.join(self.save_dir, "ckpt"), state, step=step,
+                        keep=self.save_top_k + 1)
+
+
+class EarlyStopper:
+    def __init__(self, patience: int = 100, mode: str = "min", enabled: bool = False):
+        self.patience = patience
+        self.mode = mode
+        self.enabled = enabled
+        self.best = np.inf if mode == "min" else -np.inf
+        self.count = 0
+
+    def should_stop(self, score: float) -> bool:
+        if not self.enabled:
+            return False
+        improved = score < self.best if self.mode == "min" else score > self.best
+        if improved:
+            self.best = score
+            self.count = 0
+        else:
+            self.count += 1
+        return self.count > self.patience
+
+
+def fit(
+    state: Any,
+    train_step: Callable,
+    train_batches_fn: Callable[[int], Iterable],
+    make_batch_args: Callable[[Any], tuple],
+    max_epochs: int,
+    save_dir: str,
+    rng: jax.Array,
+    val_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
+    check_val_every_n_epoch: int = 1,
+    monitor: str = "val/loss",
+    monitor_mode: str = "min",
+    save_top_k: int = 3,
+    early_stop: bool = False,
+    early_stop_patience: int = 100,
+    log_every_n_steps: int = 50,
+    max_steps: Optional[int] = None,
+):
+    """Run the loop; returns the final state.
+
+    ``train_batches_fn(epoch)`` yields host batches; ``make_batch_args(batch)``
+    maps a host batch to the positional args of ``train_step`` after
+    ``(state, rng)``."""
+    logger = MetricLogger(save_dir)
+    tracker = CheckpointTracker(save_dir, monitor, monitor_mode, save_top_k)
+    stopper = EarlyStopper(early_stop_patience, monitor_mode, early_stop)
+    global_step = int(jax.device_get(state.step))
+    for epoch in range(max_epochs):
+        for batch in train_batches_fn(epoch):
+            state, metrics = train_step(state, rng, *make_batch_args(batch))
+            global_step += 1
+            if global_step % log_every_n_steps == 0:
+                logger.log(global_step, jax.device_get(metrics))
+            if max_steps is not None and global_step >= max_steps:
+                break
+        if val_fn is not None and (epoch + 1) % check_val_every_n_epoch == 0:
+            val_metrics = val_fn(state)
+            logger.log(global_step, val_metrics)
+            score = val_metrics.get(monitor)
+            if score is not None:
+                if tracker.is_improvement(score):
+                    tracker.update(score, global_step, state)
+                if stopper.should_stop(score):
+                    break
+        if max_steps is not None and global_step >= max_steps:
+            break
+    return state

