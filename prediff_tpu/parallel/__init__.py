@@ -1,5 +1,6 @@
 from .mesh import (
     make_mesh,
+    make_data_mesh,
     replicated_sharding,
     batch_sharding,
     shard_batch,

@@ -22,6 +22,18 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Me
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_data_mesh(batch_size: int, devices: Optional[Sequence] = None,
+                   axis_name: str = "data") -> Mesh:
+    """Data mesh over the largest device count that divides ``batch_size``
+    (a 2-sample micro-batch on an 8-device host uses 2 devices rather than
+    failing)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    k = len(devices)
+    while k > 1 and batch_size % k != 0:
+        k -= 1
+    return Mesh(np.asarray(devices[:k]), (axis_name,))
+
+
 def make_2d_mesh(data: int, model: int, devices: Optional[Sequence] = None) -> Mesh:
     """(data, model) mesh for optional tensor-sharded variants."""
     devices = list(devices) if devices is not None else jax.devices()

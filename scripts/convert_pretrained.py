@@ -20,6 +20,8 @@ def main():
     p.add_argument("--out", default="weights")
     args = p.parse_args()
 
+    from prediff_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
     from prediff_tpu.config import prediff_default_config

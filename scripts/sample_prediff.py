@@ -37,6 +37,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from prediff_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +57,9 @@ def main():
     if args.synthetic:
         sevir_dir = os.path.join(args.out, "synthetic_sevirlr")
         if not os.path.exists(sevir_dir):
-            make_synthetic_sevir_lr(sevir_dir, num_events=8, H=128, W=128, T=25)
+            make_synthetic_sevir_lr(sevir_dir, num_events=8,
+                                    H=cfg.layout.img_height,
+                                    W=cfg.layout.img_width, T=25)
     dm = SEVIRDataModule(
         seq_len=cfg.dataset.seq_len, stride=cfg.dataset.stride, layout="NTHWC",
         dataset_name=cfg.dataset.dataset_name, sevir_dir=sevir_dir,

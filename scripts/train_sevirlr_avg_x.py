@@ -30,13 +30,15 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from prediff_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
 
     from prediff_tpu.config import alignment_default_config, load_config, save_yaml
     from prediff_tpu.factory import build_vae, build_alignment_model
     from prediff_tpu.models.vae import AutoencoderKL
-    from prediff_tpu.parallel.mesh import make_mesh, shard_batch
+    from prediff_tpu.parallel.mesh import make_data_mesh, shard_batch
     from prediff_tpu.training.alignment_trainer import AlignmentTrainer
     from prediff_tpu.training.loop import MetricLogger
     from prediff_tpu.datasets import SEVIRDataModule, make_synthetic_sevir_lr
@@ -54,7 +56,9 @@ def main():
     if args.synthetic:
         sevir_dir = os.path.join(save_dir, "synthetic_sevirlr")
         if not os.path.exists(sevir_dir):
-            make_synthetic_sevir_lr(sevir_dir, num_events=16, H=128, W=128, T=25)
+            make_synthetic_sevir_lr(sevir_dir, num_events=16,
+                                    H=cfg.layout.img_height,
+                                    W=cfg.layout.img_width, T=25)
     dm = SEVIRDataModule(
         seq_len=cfg.dataset.seq_len, stride=cfg.dataset.stride, layout="NTHWC",
         aug_mode=cfg.dataset.aug_mode, dataset_name=cfg.dataset.dataset_name,
@@ -81,7 +85,7 @@ def main():
         rng, jnp.zeros((1,) + tuple(a.input_shape)), jnp.zeros((1,), jnp.int32)
     )["params"]
 
-    mesh = make_mesh()
+    mesh = make_data_mesh(cfg.optim.micro_batch_size)
     total_steps = args.max_steps or 30_000
     trainer = AlignmentTrainer(
         model_apply=model.apply,

@@ -38,12 +38,14 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from prediff_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
 
     from prediff_tpu.config import prediff_default_config, load_config, save_yaml
     from prediff_tpu.factory import build_pipeline, build_unet, build_vae, build_alignment_model
-    from prediff_tpu.parallel.mesh import make_mesh, shard_batch
+    from prediff_tpu.parallel.mesh import make_data_mesh, shard_batch
     from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
     from prediff_tpu.training.loop import fit, MetricLogger
     from prediff_tpu.datasets import SEVIRDataModule, make_synthetic_sevir_lr
@@ -64,7 +66,9 @@ def main():
     if args.synthetic:
         sevir_dir = os.path.join(save_dir, "synthetic_sevirlr")
         if not os.path.exists(sevir_dir):
-            make_synthetic_sevir_lr(sevir_dir, num_events=16, H=128, W=128, T=25)
+            make_synthetic_sevir_lr(sevir_dir, num_events=16,
+                                    H=cfg.layout.img_height,
+                                    W=cfg.layout.img_width, T=25)
     dm = SEVIRDataModule(
         seq_len=cfg.dataset.seq_len,
         stride=cfg.dataset.stride,
@@ -104,7 +108,7 @@ def main():
             )
             ld.alignment = ld.alignment.replace(params=params["align"])
 
-    mesh = make_mesh()
+    mesh = make_data_mesh(cfg.optim.micro_batch_size)
     n_dev = len(mesh.devices.ravel())
     accum = max(1, cfg.optim.total_batch_size
                 // (cfg.optim.micro_batch_size * n_dev * args.nodes))

@@ -30,12 +30,14 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from prediff_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
 
     from prediff_tpu.config import vae_training_default_config, load_config, save_yaml
     from prediff_tpu.factory import build_vae
-    from prediff_tpu.parallel.mesh import make_mesh, shard_batch
+    from prediff_tpu.parallel.mesh import make_data_mesh, shard_batch
     from prediff_tpu.training.vae_trainer import VAETrainer
     from prediff_tpu.training.losses import NLayerDiscriminator
     from prediff_tpu.training.loop import MetricLogger
@@ -51,7 +53,9 @@ def main():
     if args.synthetic:
         sevir_dir = os.path.join(save_dir, "synthetic_sevirlr")
         if not os.path.exists(sevir_dir):
-            make_synthetic_sevir_lr(sevir_dir, num_events=16, H=128, W=128, T=25)
+            make_synthetic_sevir_lr(sevir_dir, num_events=16,
+                                    H=cfg.layout.img_height,
+                                    W=cfg.layout.img_width, T=25)
     # frames: seq_len=1 windows with stride 1 (ref train_vae_sevirlr.py)
     dm = SEVIRDataModule(
         seq_len=1, stride=1, layout="NTHWC", aug_mode=cfg.dataset.aug_mode,
@@ -65,7 +69,7 @@ def main():
 
     vae = build_vae(cfg)
     loss_cfg = cfg.model.loss
-    mesh = make_mesh()
+    mesh = make_data_mesh(cfg.optim.micro_batch_size)
     total_steps = args.max_steps or 100_000
     trainer = VAETrainer(
         vae=vae,
