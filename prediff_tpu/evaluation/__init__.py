@@ -7,3 +7,10 @@ from .metrics import (
     crps_ensemble,
     pearson_corr,
 )
+from .fvd import (
+    FrechetVideoDistance,
+    FVDState,
+    InceptionI3d,
+    frechet_distance,
+    preprocess_video,
+)

@@ -157,6 +157,32 @@ def convert_torch_state_dict(
     return _unflatten(new_flat)
 
 
+def convert_torch_batch_stats(
+    state_dict: Dict[str, "object"],
+    flax_batch_stats: Dict,
+    prefix: str = "",
+) -> Dict:
+    """Fill a flax ``batch_stats`` collection from torch BatchNorm running
+    stats (running_mean -> mean, running_var -> var)."""
+    flat_target = _flatten(flax_batch_stats)
+    new_flat = dict(flat_target)
+    for tkey, tval in state_dict.items():
+        if prefix:
+            if not tkey.startswith(prefix):
+                continue
+            key = tkey[len(prefix):]
+        else:
+            key = tkey
+        leaf = key.rsplit(".", 1)[-1]
+        if leaf not in ("running_mean", "running_var"):
+            continue
+        base = torch_key_to_flax_path(key)[:-1]
+        path = base + ("mean" if leaf == "running_mean" else "var",)
+        if path in flat_target:
+            new_flat[path] = _to_numpy(tval)
+    return _unflatten({k: np.asarray(v) for k, v in new_flat.items()})
+
+
 def load_torch_checkpoint(path: str, map_location: str = "cpu") -> Dict:
     """Read a .pt state_dict (plain or Lightning; ref pl_checkpoint.py:10)."""
     import torch

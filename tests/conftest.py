@@ -75,4 +75,20 @@ def import_reference():
                 return self.compute()
 
         tm.Metric = _Metric
+        tm.__path__ = []  # mark as package so torchmetrics.metric imports
+        tm_metric = types.ModuleType("torchmetrics.metric")
+        tm_metric.Metric = _Metric
+        tm.metric = tm_metric
+        tm_image = types.ModuleType("torchmetrics.image")
+        tm_fid = types.ModuleType("torchmetrics.image.fid")
+
+        def _compute_fid(mu1, sigma1, mu2, sigma2):
+            raise NotImplementedError("stub")
+
+        tm_fid._compute_fid = _compute_fid
+        tm_image.fid = tm_fid
+        tm.image = tm_image
         sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.metric"] = tm_metric
+        sys.modules["torchmetrics.image"] = tm_image
+        sys.modules["torchmetrics.image.fid"] = tm_fid
