@@ -1,0 +1,82 @@
+"""Tracing / profiling helpers — the TPU equivalent of the reference's
+optional Lightning PyTorchProfiler + grad-norm tracking (SURVEY.md §5).
+
+Usage:
+    with trace("/tmp/jax-trace"):            # view in TensorBoard / Perfetto
+        train_step(...)
+
+    timer = StepTimer()
+    with timer:
+        out = step(...); jax.block_until_ready(out)
+    print(timer.summary())
+"""
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, create_perfetto_link: bool = False):
+    """jax.profiler trace scope; writes an xplane trace to ``log_dir``."""
+    import jax
+
+    jax.profiler.start_trace(log_dir, create_perfetto_link=create_perfetto_link)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region visible in profiler traces."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Wall-clock step timing with percentile summary."""
+
+    def __init__(self):
+        self.times: List[float] = []
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.times.append(time.perf_counter() - self._t0)
+        return False
+
+    def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        arr = np.asarray(self.times)
+        return {
+            "mean_s": float(arr.mean()),
+            "p50_s": float(np.percentile(arr, 50)),
+            "p90_s": float(np.percentile(arr, 90)),
+            "max_s": float(arr.max()),
+            "steps_per_sec": float(1.0 / arr.mean()),
+            "n": len(arr),
+        }
+
+
+def tree_grad_norms(grads) -> Dict[str, float]:
+    """Per-leaf L2 norms (the reference's track_grad_norm equivalent)."""
+    import jax
+
+    flat = {}
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}{k}/")
+        else:
+            flat[prefix[:-1]] = float(np.sqrt(np.sum(np.square(np.asarray(tree)))))
+
+    walk(jax.device_get(grads))
+    return flat
