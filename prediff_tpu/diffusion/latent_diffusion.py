@@ -130,6 +130,20 @@ class LatentDiffusion:
     def cond_stage_forward(self, vae_params, y: jnp.ndarray) -> jnp.ndarray:
         return self.encode_first_stage(vae_params, y, sample_posterior=False)
 
+    def calibrate_scale_by_std(self, vae_params, x: jnp.ndarray,
+                               rng: Optional[jax.Array] = None) -> float:
+        """Set scale_factor to 1/std of the first batch's encodings
+        (ref scale_by_std, latent_diffusion.py:301-317).  Call once before
+        training; returns the new factor."""
+        prev = self.scale_factor
+        self.scale_factor = 1.0
+        z = self.encode_first_stage(vae_params, x, rng=rng,
+                                    sample_posterior=rng is not None)
+        std = float(jnp.std(z.ravel()))
+        self.scale_factor = 1.0 / std
+        self._jit_cache.clear()
+        return self.scale_factor
+
     # ------------------------------------------------------------------ #
     # training loss
     # ------------------------------------------------------------------ #
@@ -212,6 +226,7 @@ class LatentDiffusion:
         use_mask: bool,
         num_segments: int,
         temperature: float,
+        scan_unroll: int,
         sampler: str,
         ddim_steps: Optional[int],
         ddim_eta: float,
@@ -305,7 +320,7 @@ class LatentDiffusion:
                              mask, x0, rng_loop, z, t_scalar)
                     return z, None
 
-                z, _ = jax.lax.scan(body, z, seg_arr)
+                z, _ = jax.lax.scan(body, z, seg_arr, unroll=scan_unroll)
                 intermediates.append(z)
             if return_decoded:
                 out = self.decode_first_stage(vae_params, z)
@@ -340,6 +355,7 @@ class LatentDiffusion:
         ddim_steps: Optional[int] = None,
         ddim_eta: float = 0.0,
         ddim_clip_x0: bool = False,
+        scan_unroll: int = 1,
     ):
         """Generate a forecast from context ``y`` (B, T_in, H, W, C).
 
@@ -355,6 +371,7 @@ class LatentDiffusion:
         key = (
             batch_size, use_alignment, timesteps, return_decoded,
             mask is not None, num_segments, float(temperature),
+            int(scan_unroll),
             sampler, ddim_steps, float(ddim_eta), ddim_clip_x0,
         )
         if key not in self._jit_cache:
