@@ -130,6 +130,32 @@ class LatentDiffusion:
     def cond_stage_forward(self, vae_params, y: jnp.ndarray) -> jnp.ndarray:
         return self.encode_first_stage(vae_params, y, sample_posterior=False)
 
+    def sample_ensemble(
+        self,
+        unet_params,
+        vae_params,
+        rng: jax.Array,
+        y: jnp.ndarray,
+        num_samples: int,
+        **kwargs,
+    ) -> jnp.ndarray:
+        """Draw ``num_samples`` forecasts per context by folding the ensemble
+        into the batch axis (shards across the data mesh like any batch;
+        SURVEY.md §2.5: ensembles map onto the mesh's batch axis).
+
+        Returns (num_samples, B, T_out, H, W, C)."""
+        B = y.shape[0]
+        y_rep = jnp.repeat(y, num_samples, axis=0)  # (B*M, ...)
+        align_kwargs = kwargs.pop("alignment_kwargs", None)
+        if align_kwargs is not None and "avg_x_gt" in align_kwargs:
+            align_kwargs = dict(align_kwargs)
+            align_kwargs["avg_x_gt"] = jnp.repeat(
+                align_kwargs["avg_x_gt"], num_samples, axis=0
+            )
+        out = self.sample(unet_params, vae_params, rng, y_rep,
+                          alignment_kwargs=align_kwargs, **kwargs)
+        return out.reshape((B, num_samples) + out.shape[1:]).swapaxes(0, 1)
+
     def calibrate_scale_by_std(self, vae_params, x: jnp.ndarray,
                                rng: Optional[jax.Array] = None) -> float:
         """Set scale_factor to 1/std of the first batch's encodings

@@ -50,6 +50,7 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         checkpoint_level=m.checkpoint_level,
         pos_embed_type=m.pos_embed_type,
         use_relative_pos=m.use_relative_pos,
+        use_pallas_attention=m.get("use_pallas_attention", False),
         self_attn_use_final_proj=m.self_attn_use_final_proj,
         time_embed_channels_mult=m.time_embed_channels_mult,
         time_embed_use_scale_shift_norm=m.time_embed_use_scale_shift_norm,

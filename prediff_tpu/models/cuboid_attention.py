@@ -76,6 +76,7 @@ class CuboidSelfAttentionLayer(nn.Module):
     separate_global_qkv: bool = False
     global_dim_ratio: int = 1
     use_relative_pos: bool = True
+    use_pallas_attention: bool = False
     attn_linear_init_mode: str = "0"
     ffn_linear_init_mode: str = "2"  # the final-proj init mode (ref naming)
 
@@ -127,8 +128,6 @@ class CuboidSelfAttentionLayer(nn.Module):
         qkv = qkv.reshape(B, num_cuboids, cuboid_volume, 3, self.num_heads, head_C)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         # (B, nC, vol, heads, head_C)
-        q = q * scale
-        attn_score = jnp.einsum("bnihc,bnjhc->bnhij", q, k)
 
         if self.use_relative_pos:
             table = self.param(
@@ -146,6 +145,49 @@ class CuboidSelfAttentionLayer(nn.Module):
             bias = table[jnp.asarray(rel_idx.reshape(-1))]
             bias = bias.reshape(cuboid_volume, cuboid_volume, self.num_heads)
             bias = bias.transpose(2, 0, 1)  # (heads, vol, vol)
+        else:
+            bias = None
+
+        if (
+            self.use_pallas_attention
+            and not self.use_global_vector
+            and self.attn_drop == 0.0
+        ):
+            # fused Pallas path: whole-cuboid attention in VMEM
+            from ..ops.pallas_attention import fused_cuboid_attention
+
+            qp = q.transpose(0, 1, 3, 2, 4)  # (B, nC, H, vol, hc)
+            kp = k.transpose(0, 1, 3, 2, 4)
+            vp = v.transpose(0, 1, 3, 2, 4)
+            bias_p = (
+                bias if bias is not None
+                else jnp.zeros((self.num_heads, cuboid_volume, cuboid_volume), q.dtype)
+            )
+            out = fused_cuboid_attention(
+                qp, kp, vp, bias_p, mask=attn_mask, scale=scale,
+                interpret=jax.default_backend() != "tpu",
+            )
+            reordered_x = out.transpose(0, 1, 3, 2, 4).reshape(
+                B, num_cuboids, cuboid_volume, self.dim
+            )
+            if self.use_final_proj:
+                reordered_x = nn.Dense(self.dim, name="proj",
+                                       kernel_init=linear_init(self.ffn_linear_init_mode))(reordered_x)
+                reordered_x = nn.Dropout(self.proj_drop)(reordered_x, deterministic=deterministic)
+            shifted_x = cuboid_reorder_reverse(
+                reordered_x, cuboid_size=cuboid_size, strategy=self.strategy,
+                orig_data_shape=(T + pad_t, H + pad_h, W + pad_w),
+            )
+            if any(s > 0 for s in shift_size):
+                x = jnp.roll(shifted_x, shift=shift_size, axis=(1, 2, 3))
+            else:
+                x = shifted_x
+            return generalize_unpadding(x, pad_t=pad_t, pad_h=pad_h, pad_w=pad_w,
+                                        padding_type=self.padding_type)
+
+        q = q * scale
+        attn_score = jnp.einsum("bnihc,bnjhc->bnhij", q, k)
+        if bias is not None:
             attn_score = attn_score + bias[None, None]
 
         attn_dropout = nn.Dropout(self.attn_drop)
@@ -313,6 +355,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
     separate_global_qkv: bool = False
     global_dim_ratio: int = 1
     use_relative_pos: bool = True
+    use_pallas_attention: bool = False
     use_final_proj: bool = True
     checkpoint_level: int = 0
     attn_linear_init_mode: str = "0"
@@ -374,6 +417,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
                 separate_global_qkv=self.separate_global_qkv,
                 global_dim_ratio=self.global_dim_ratio,
                 use_relative_pos=self.use_relative_pos,
+                use_pallas_attention=self.use_pallas_attention,
                 use_final_proj=self.use_final_proj,
                 attn_linear_init_mode=self.attn_linear_init_mode,
                 ffn_linear_init_mode=self.attn_proj_linear_init_mode,
