@@ -34,15 +34,16 @@ def main():
             timesteps=n_steps, return_decoded=True,
         )
 
-    # compile + warmup
+    # compile + warmup (force host materialization — async relays can make
+    # block_until_ready unreliable; fetching bytes to host cannot lie)
     out = run(0)
-    out.block_until_ready()
+    _ = float(np.asarray(out).sum())
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         out = run(i + 1)
-    out.block_until_ready()
+        _ = float(np.asarray(out).sum())
     dt = (time.perf_counter() - t0) / iters
 
     steps_per_sec = n_steps / dt

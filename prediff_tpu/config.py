@@ -85,7 +85,9 @@ def dataset_default() -> Dict:
 
 def optim_default() -> Dict:
     return dict(
-        total_batch_size=64, micro_batch_size=2, seed=0, method="adamw",
+        total_batch_size=64, micro_batch_size=2, seed=0,
+        float32_matmul_precision="high",  # torch knob; informational here
+        method="adamw",
         lr=1.0e-3, wd=1.0e-5, betas=[0.9, 0.999], gradient_clip_val=1.0,
         max_epochs=2000, loss_type="l2", warmup_percentage=0.1,
         lr_scheduler_mode="cosine", min_lr_ratio=1.0e-3,
@@ -121,7 +123,12 @@ def latent_model_default() -> Dict:
         separate_global_qkv=True, global_dim_ratio=1, ffn_activation="gelu",
         gated_ffn=False, norm_layer="layer_norm", padding_type="zeros",
         pos_embed_type="t+h+w", checkpoint_level=0, use_relative_pos=True,
-        self_attn_use_final_proj=True, time_embed_channels_mult=4,
+        self_attn_use_final_proj=True,
+        attn_linear_init_mode="0", ffn_linear_init_mode="0",
+        ffn2_linear_init_mode="2", attn_proj_linear_init_mode="2",
+        conv_init_mode="0", down_up_linear_init_mode="0",
+        global_proj_linear_init_mode="2", norm_init_mode="0",
+        time_embed_channels_mult=4,
         time_embed_use_scale_shift_norm=False, time_embed_dropout=0.0,
         unet_res_connect=True,
     )
@@ -159,7 +166,12 @@ def align_default() -> Dict:
             use_relative_pos=True, self_attn_use_final_proj=True,
             num_global_vectors=0, use_global_vector_ffn=True,
             use_global_self_attn=False, separate_global_qkv=False,
-            global_dim_ratio=1, time_embed_channels_mult=4,
+            global_dim_ratio=1,
+            attn_linear_init_mode="0", ffn_linear_init_mode="0",
+            ffn2_linear_init_mode="2", attn_proj_linear_init_mode="2",
+            conv_init_mode="0", down_linear_init_mode="0",
+            global_proj_linear_init_mode="2", norm_init_mode="0",
+            time_embed_channels_mult=4,
             time_embed_use_scale_shift_norm=False, time_embed_dropout=0.0,
             pool="attention", readout_seq=True, out_len=6,
         ),
@@ -212,8 +224,11 @@ def vae_training_default_config() -> ConfigDict:
     """Defaults matching scripts/vae/sevirlr/vae_sevirlr_v1.yaml."""
     return ConfigDict.wrap(
         dict(
-            dataset=deep_merge(dataset_default(), dict(aug_mode="1")),
-            layout=layout_default(),
+            # frame-level data: seq_len=1 windows, NHWC (ref vae_sevirlr_v1.yaml)
+            dataset=deep_merge(dataset_default(), dict(
+                aug_mode="1", in_len=0, out_len=1, seq_len=1, stride=1,
+            )),
+            layout=deep_merge(layout_default(), dict(layout="NHWC")),
             optim=deep_merge(optim_default(), dict(lr=5.0e-5, total_batch_size=128,
                                                    micro_batch_size=8)),
             logging=logging_default(),

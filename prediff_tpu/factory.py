@@ -52,6 +52,15 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         use_relative_pos=m.use_relative_pos,
         use_pallas_attention=m.get("use_pallas_attention", False),
         self_attn_use_final_proj=m.self_attn_use_final_proj,
+        attn_linear_init_mode=m.get("attn_linear_init_mode", "0"),
+        ffn_linear_init_mode=m.get("ffn_linear_init_mode", "0"),
+        ffn2_linear_init_mode=m.get("ffn2_linear_init_mode", "2"),
+        attn_proj_linear_init_mode=m.get("attn_proj_linear_init_mode", "2"),
+        conv_init_mode=m.get("conv_init_mode", "0"),
+        down_linear_init_mode=m.get("down_up_linear_init_mode", "0"),
+        up_linear_init_mode=m.get("down_up_linear_init_mode", "0"),
+        global_proj_linear_init_mode=m.get("global_proj_linear_init_mode", "2"),
+        norm_init_mode=m.get("norm_init_mode", "0"),
         time_embed_channels_mult=m.time_embed_channels_mult,
         time_embed_use_scale_shift_norm=m.time_embed_use_scale_shift_norm,
         time_embed_dropout=m.time_embed_dropout,
@@ -97,7 +106,16 @@ def build_alignment_model(cfg: ConfigDict) -> NoisyCuboidTransformerEncoder:
         padding_type=a.padding_type,
         checkpoint_level=a.checkpoint_level,
         use_relative_pos=a.use_relative_pos,
+        use_pallas_attention=a.get("use_pallas_attention", False),
         self_attn_use_final_proj=a.self_attn_use_final_proj,
+        attn_linear_init_mode=a.get("attn_linear_init_mode", "0"),
+        ffn_linear_init_mode=a.get("ffn_linear_init_mode", "0"),
+        ffn2_linear_init_mode=a.get("ffn2_linear_init_mode", "2"),
+        attn_proj_linear_init_mode=a.get("attn_proj_linear_init_mode", "2"),
+        conv_init_mode=a.get("conv_init_mode", "0"),
+        down_linear_init_mode=a.get("down_linear_init_mode", "0"),
+        global_proj_linear_init_mode=a.get("global_proj_linear_init_mode", "2"),
+        norm_init_mode=a.get("norm_init_mode", "0"),
         num_global_vectors=a.num_global_vectors,
         use_global_vector_ffn=a.use_global_vector_ffn,
         use_global_self_attn=a.use_global_self_attn,
