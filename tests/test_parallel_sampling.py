@@ -1,0 +1,76 @@
+"""Mesh-sharded sampling + prefetch pipeline tests (8 virtual CPU devices)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from prediff_tpu.parallel.mesh import make_mesh, shard_batch, batch_sharding
+from prediff_tpu.datasets.prefetch import prefetch_to_device
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    from prediff_tpu.models.unet import CuboidTransformerUNet
+    from prediff_tpu.models.vae import AutoencoderKL
+    from prediff_tpu.diffusion import LatentDiffusion
+
+    IN_LEN, OUT_LEN, IMG, LAT, LAT_C = 2, 2, 8, 2, 2
+    unet = CuboidTransformerUNet(
+        input_shape=(IN_LEN, LAT, LAT, LAT_C), target_shape=(OUT_LEN, LAT, LAT, LAT_C),
+        base_units=8, depth=[1], block_attn_patterns="full", num_heads=2,
+        padding_type="zeros", ffn_activation="gelu",
+    )
+    vae = AutoencoderKL(
+        in_channels=1, out_channels=1,
+        down_block_types=("DownEncoderBlock2D",) * 3,
+        up_block_types=("UpDecoderBlock2D",) * 3,
+        block_out_channels=(4, 8, 8), layers_per_block=1,
+        latent_channels=LAT_C, norm_num_groups=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet.init(rng, jnp.zeros((1, OUT_LEN, LAT, LAT, LAT_C)),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, IN_LEN, LAT, LAT, LAT_C)))["params"]
+    vae_params = vae.init(rng, jnp.zeros((1, IMG, IMG, 1)))["params"]
+    ld = LatentDiffusion(
+        unet_apply=unet.apply,
+        vae_apply_encode=lambda v, x: vae.apply(v, x, method=AutoencoderKL.encode_moments),
+        vae_apply_decode=lambda v, z: vae.apply(v, z, method=AutoencoderKL.decode),
+        timesteps=5, data_shape=(OUT_LEN, IMG, IMG, 1),
+        latent_shape=(OUT_LEN, LAT, LAT, LAT_C),
+        cond_latent_shape=(IN_LEN, LAT, LAT, LAT_C),
+    )
+    return ld, unet_params, vae_params, IN_LEN, IMG
+
+
+def test_sharded_batch_sampling_matches_single_device(tiny_pipeline):
+    ld, unet_params, vae_params, IN_LEN, IMG = tiny_pipeline
+    mesh = make_mesh()
+    y = jnp.asarray(np.random.RandomState(0).rand(8, IN_LEN, IMG, IMG, 1).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    out_plain = ld.sample(unet_params, vae_params, rng, y)
+    y_sharded = shard_batch(y, mesh)
+    out_sharded = ld.sample(unet_params, vae_params, rng, y_sharded)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_plain),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sample_ensemble_shapes(tiny_pipeline):
+    ld, unet_params, vae_params, IN_LEN, IMG = tiny_pipeline
+    y = jnp.asarray(np.random.RandomState(2).rand(2, IN_LEN, IMG, IMG, 1).astype(np.float32))
+    ens = ld.sample_ensemble(unet_params, vae_params, jax.random.PRNGKey(3), y,
+                             num_samples=4)
+    assert ens.shape == (4, 2, 2, IMG, IMG, 1)
+    # members differ
+    assert not np.allclose(np.asarray(ens[0]), np.asarray(ens[1]))
+
+
+def test_prefetch_to_device():
+    mesh = make_mesh()
+    batches = [np.full((8, 4), float(i), np.float32) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2,
+                                  sharding=batch_sharding(mesh)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b)[0, 0]) == float(i)
+        assert len(b.sharding.device_set) == 8
