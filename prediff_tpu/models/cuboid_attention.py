@@ -151,7 +151,7 @@ class CuboidSelfAttentionLayer(nn.Module):
         if (
             self.use_pallas_attention
             and not self.use_global_vector
-            and self.attn_drop == 0.0
+            and (deterministic or self.attn_drop == 0.0)
         ):
             # fused Pallas path: whole-cuboid attention in VMEM
             from ..ops.pallas_attention import fused_cuboid_attention

@@ -157,6 +157,37 @@ def convert_torch_state_dict(
     return _unflatten(new_flat)
 
 
+def extract_ema_state_dict(
+    pl_state_dict: Dict[str, "object"],
+    model_prefix: str = "torch_nn_module.",
+    ema_prefix: str = "model_ema.",
+) -> Dict[str, "object"]:
+    """Recover an EMA state_dict from a Lightning PreDiff checkpoint.
+
+    The reference's LitEma stores shadow buffers under dot-stripped names
+    (utils/ema.py: ``s_name = name.replace('.', '')``); we invert that by
+    matching each model param name's dot-stripped form (unambiguous for these
+    models).  Returns a state_dict keyed like the live model's."""
+    model_keys = [k[len(model_prefix):] for k in pl_state_dict
+                  if k.startswith(model_prefix)]
+    dotless = {}
+    for k in model_keys:
+        flat = k.replace(".", "")
+        if flat in dotless:
+            raise ValueError(f"ambiguous dot-stripped EMA name '{flat}'")
+        dotless[flat] = k
+    out = {}
+    for k, v in pl_state_dict.items():
+        if not k.startswith(ema_prefix):
+            continue
+        name = k[len(ema_prefix):]
+        if name in ("decay", "num_updates"):
+            continue
+        if name in dotless:
+            out[dotless[name]] = v
+    return out
+
+
 def convert_torch_batch_stats(
     state_dict: Dict[str, "object"],
     flax_batch_stats: Dict,
