@@ -153,21 +153,22 @@ class CuboidSelfAttentionLayer(nn.Module):
             and not self.use_global_vector
             and (deterministic or self.attn_drop == 0.0)
         ):
-            # fused Pallas path: whole-cuboid attention in VMEM
-            from ..ops.pallas_attention import fused_cuboid_attention
+            # fused Pallas path: groups of cuboids batched per grid cell so the
+            # tiny per-cuboid matmuls fill the MXU
+            from ..ops.pallas_attention import fused_cuboid_attention_grouped
 
-            qp = q.transpose(0, 1, 3, 2, 4)  # (B, nC, H, vol, hc)
-            kp = k.transpose(0, 1, 3, 2, 4)
-            vp = v.transpose(0, 1, 3, 2, 4)
+            qp = q.transpose(0, 3, 1, 2, 4)  # (B, H, nC, vol, hc)
+            kp = k.transpose(0, 3, 1, 2, 4)
+            vp = v.transpose(0, 3, 1, 2, 4)
             bias_p = (
                 bias if bias is not None
                 else jnp.zeros((self.num_heads, cuboid_volume, cuboid_volume), q.dtype)
             )
-            out = fused_cuboid_attention(
+            out = fused_cuboid_attention_grouped(
                 qp, kp, vp, bias_p, mask=attn_mask, scale=scale,
                 interpret=jax.default_backend() != "tpu",
             )
-            reordered_x = out.transpose(0, 1, 3, 2, 4).reshape(
+            reordered_x = out.transpose(0, 2, 3, 1, 4).reshape(
                 B, num_cuboids, cuboid_volume, self.dim
             )
             if self.use_final_proj:
