@@ -33,6 +33,17 @@ def build_lr_schedule(
     return optax.join_schedules([warmup, decay], boundaries=[warmup_steps])
 
 
+def get_loss_fn(loss: str = "l2"):
+    """Name -> elementwise loss (ref: utils/optim.py:15)."""
+    import jax.numpy as jnp
+
+    if loss in ("l2", "mse"):
+        return lambda pred, target: jnp.mean(jnp.square(pred - target))
+    if loss in ("l1", "mae"):
+        return lambda pred, target: jnp.mean(jnp.abs(pred - target))
+    raise NotImplementedError(f"loss '{loss}'")
+
+
 def build_optimizer(
     lr: float = 1e-3,
     total_num_steps: int = 100_000,

@@ -222,6 +222,7 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
         ):
             continue
         x, y = split_batch(batch)
+        first_preds = []
         for name, suite in suites.items():
             preds = []
             for i in range(n_samples):
@@ -236,6 +237,8 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
                     jax.random.fold_in(rng, bidx * 131 + i), y, **kwargs,
                 )
                 preds.append(pred)
+                if bidx == 0 and i == 0:
+                    first_preds.append((f"{name}_pred", pred))
                 suite["score"].update(pred, x)
                 suite["mse"].update(mse(pred, x))
                 suite["mae"].update(mae(pred, x))
@@ -246,6 +249,13 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
                 )
             if len(preds) > 1:
                 suite["crps"].update(crps_ensemble(jnp.stack(preds), x))
+        if bidx == 0 and first_preds:
+            try:
+                save_example_vis(save_dir, cfg, y, x,
+                                 [p for _, p in first_preds],
+                                 [n for n, _ in first_preds], "test_example_0")
+            except Exception as e:  # visualization must not break eval
+                print(f"vis failed: {e}")
     results = {}
     for name, suite in suites.items():
         scores = suite["score"].compute()
@@ -262,6 +272,22 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
     logger.log(0, results)
     for k in sorted(results):
         print(f"{k}: {results[k]:.4f}")
+
+
+def save_example_vis(save_dir, cfg, y, x, preds, labels, tag):
+    """Example-forecast PNG (parity: save_vis_step_end,
+    train_sevirlr_prediff.py:1017-1074)."""
+    import numpy as np
+    from prediff_tpu.datasets.visualization import vis_sevir_seq
+
+    vis_sevir_seq(
+        f"{save_dir}/{tag}.png",
+        seq=[np.asarray(y[0]), np.asarray(x[0])] + [np.asarray(p[0]) for p in preds],
+        label=["context", "target"] + list(labels),
+        interval_real_time=cfg.dataset.interval_real_time,
+        plot_stride=cfg.dataset.plot_stride,
+        fs=cfg.eval.fs,
+    )
 
 
 if __name__ == "__main__":
