@@ -33,6 +33,12 @@ def parse_args():
                    help="use a generated synthetic SEVIR-LR dataset")
     p.add_argument("--max-steps", default=None, type=int)
     p.add_argument("--nodes", default=1, type=int)
+    p.add_argument("--num-samples", default=None, type=int,
+                   help="override eval.num_samples_per_context (ensemble size)")
+    p.add_argument("--ddim-steps", default=None, type=int,
+                   help="evaluate with the DDIM fast sampler")
+    p.add_argument("--timesteps", default=None, type=int,
+                   help="truncate the DDPM chain during eval")
     return p.parse_args()
 
 
@@ -199,6 +205,11 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
 
     rng = jax.random.PRNGKey(cfg.optim.seed)
     use_align = cfg.model.align.alignment_type is not None and cfg.eval.eval_aligned
+    sampler_kwargs = {}
+    if args.ddim_steps:
+        sampler_kwargs = dict(sampler="ddim", ddim_steps=args.ddim_steps)
+    if args.timesteps:
+        sampler_kwargs["timesteps"] = args.timesteps
     suites = {}
     for name in (["aligned"] if use_align else []) + (
         ["unaligned"] if cfg.eval.eval_unaligned else []
@@ -214,7 +225,7 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
             crps=MeanMetric(),
         )
     logger = MetricLogger(save_dir)
-    n_samples = cfg.eval.num_samples_per_context
+    n_samples = args.num_samples or cfg.eval.num_samples_per_context
     for bidx, batch in enumerate(dm.test_batches()):
         if cfg.eval.eval_example_only and (
             bidx * cfg.optim.micro_batch_size
@@ -226,7 +237,7 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
         for name, suite in suites.items():
             preds = []
             for i in range(n_samples):
-                kwargs = {}
+                kwargs = dict(sampler_kwargs)
                 if name == "aligned":
                     kwargs = dict(
                         use_alignment=True,
