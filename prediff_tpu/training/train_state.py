@@ -21,6 +21,9 @@ class EmaTrainState(struct.PyTreeNode):
     def create(cls, params, tx, use_ema: bool = True, ema_decay: float = 0.9999):
         import jax.numpy as jnp
 
+        # own copies throughout: train steps donate the state, which would
+        # otherwise delete buffers the caller (or a sibling state) still holds
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,

@@ -1,0 +1,72 @@
+"""DiffusionTrainer options: remat + scan_unroll sampling equivalence."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from prediff_tpu.models.unet import CuboidTransformerUNet
+from prediff_tpu.models.vae import AutoencoderKL
+from prediff_tpu.diffusion import LatentDiffusion
+from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    IN_LEN, OUT_LEN, IMG, LAT, LAT_C = 2, 2, 8, 2, 2
+    unet = CuboidTransformerUNet(
+        input_shape=(IN_LEN, LAT, LAT, LAT_C), target_shape=(OUT_LEN, LAT, LAT, LAT_C),
+        base_units=8, depth=[1], block_attn_patterns="full", num_heads=2,
+        padding_type="zeros", ffn_activation="gelu",
+    )
+    vae = AutoencoderKL(
+        in_channels=1, out_channels=1,
+        down_block_types=("DownEncoderBlock2D",) * 3,
+        up_block_types=("UpDecoderBlock2D",) * 3,
+        block_out_channels=(4, 8, 8), layers_per_block=1,
+        latent_channels=LAT_C, norm_num_groups=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet.init(rng, jnp.zeros((1, OUT_LEN, LAT, LAT, LAT_C)),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, IN_LEN, LAT, LAT, LAT_C)))["params"]
+    vae_params = vae.init(rng, jnp.zeros((1, IMG, IMG, 1)))["params"]
+    ld = LatentDiffusion(
+        unet_apply=unet.apply,
+        vae_apply_encode=lambda v, x: vae.apply(v, x, method=AutoencoderKL.encode_moments),
+        vae_apply_decode=lambda v, z: vae.apply(v, z, method=AutoencoderKL.decode),
+        timesteps=8, data_shape=(OUT_LEN, IMG, IMG, 1),
+        latent_shape=(OUT_LEN, LAT, LAT, LAT_C),
+        cond_latent_shape=(IN_LEN, LAT, LAT, LAT_C),
+        learn_logvar=True,
+    )
+    x = jnp.asarray(np.random.RandomState(0).rand(2, OUT_LEN, IMG, IMG, 1).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).rand(2, IN_LEN, IMG, IMG, 1).astype(np.float32))
+    return ld, unet_params, vae_params, x, y
+
+
+def test_remat_matches_plain(setup):
+    ld, unet_params, vae_params, x, y = setup
+    rng = jax.random.PRNGKey(2)
+    plain = DiffusionTrainer(ld, vae_params,
+                             optim_config=dict(lr=1e-3, total_num_steps=10))
+    remat = DiffusionTrainer(ld, vae_params,
+                             optim_config=dict(lr=1e-3, total_num_steps=10),
+                             remat_unet=True)
+    s0 = plain.create_state(unet_params)
+    s1 = remat.create_state(unet_params)
+    s0, m0 = plain.train_step(s0, rng, x, y)
+    s1, m1 = remat.train_step(s1, rng, x, y)
+    assert float(m0["train/loss"]) == pytest.approx(float(m1["train/loss"]), rel=1e-5)
+    w0 = jax.tree_util.tree_leaves(s0.params)[0]
+    w1 = jax.tree_util.tree_leaves(s1.params)[0]
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), rtol=1e-5, atol=1e-6)
+
+
+def test_scan_unroll_matches(setup):
+    ld, unet_params, vae_params, x, y = setup
+    rng = jax.random.PRNGKey(3)
+    out1 = ld.sample(unet_params, vae_params, rng, y, return_decoded=False)
+    out2 = ld.sample(unet_params, vae_params, rng, y, return_decoded=False,
+                     scan_unroll=4)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               rtol=1e-4, atol=1e-5)
