@@ -253,6 +253,7 @@ class LatentDiffusion:
         num_segments: int,
         temperature: float,
         scan_unroll: int,
+        compute_dtype_name: str,
         sampler: str,
         ddim_steps: Optional[int],
         ddim_eta: float,
@@ -261,6 +262,7 @@ class LatentDiffusion:
         """Compile the full sampling chain for a static configuration."""
         total_T = timesteps or self.num_timesteps
         latent_shape = (batch_size,) + self.latent_shape
+        compute_dtype = jnp.dtype(compute_dtype_name)
 
         if sampler == "ddpm":
             ts_all = np.arange(total_T - 1, -1, -1, dtype=np.int32)
@@ -293,7 +295,7 @@ class LatentDiffusion:
                 noise = jax.random.normal(jax.random.fold_in(step_rng, 1), z.shape, z.dtype)
                 z_orig = core.q_sample(self.schedule, x0, t_b, noise)
                 z = z_orig * mask + (1.0 - mask) * z
-            return z
+            return z.astype(compute_dtype)
 
         def ddim_step(unet_params, align_params, zc, y, avg_x_gt, mask, x0, rng, z, idx):
             t_scalar = ddim_ts[idx]
@@ -320,7 +322,7 @@ class LatentDiffusion:
                 x0_pred = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
             dir_zt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
             noise = jax.random.normal(step_rng, z.shape, z.dtype) * temperature
-            return jnp.sqrt(a_prev) * x0_pred + dir_zt + sigma * noise
+            return (jnp.sqrt(a_prev) * x0_pred + dir_zt + sigma * noise).astype(compute_dtype)
 
         step = ddpm_step if sampler == "ddpm" else ddim_step
 
@@ -334,8 +336,8 @@ class LatentDiffusion:
             z = (
                 jax.random.normal(rng_init, latent_shape, jnp.float32)
                 if x_T is None else x_T
-            )
-            zc = self.cond_stage_forward(vae_params, y)
+            ).astype(compute_dtype)
+            zc = self.cond_stage_forward(vae_params, y).astype(compute_dtype)
             intermediates = []
             for seg in segments:
                 seg_arr = jnp.asarray(seg)
@@ -382,6 +384,7 @@ class LatentDiffusion:
         ddim_eta: float = 0.0,
         ddim_clip_x0: bool = False,
         scan_unroll: int = 1,
+        compute_dtype="float32",
     ):
         """Generate a forecast from context ``y`` (B, T_in, H, W, C).
 
@@ -397,7 +400,7 @@ class LatentDiffusion:
         key = (
             batch_size, use_alignment, timesteps, return_decoded,
             mask is not None, num_segments, float(temperature),
-            int(scan_unroll),
+            int(scan_unroll), jnp.dtype(compute_dtype).name,
             sampler, ddim_steps, float(ddim_eta), ddim_clip_x0,
         )
         if key not in self._jit_cache:
