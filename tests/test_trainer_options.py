@@ -70,3 +70,21 @@ def test_scan_unroll_matches(setup):
                      scan_unroll=4)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_compute_dtype_bf16_sampling(setup):
+    ld, unet_params, vae_params, x, y = setup
+    import jax.numpy as jnp
+    from prediff_tpu.utils.precision import cast_to_bf16
+
+    rng = jax.random.PRNGKey(4)
+    out32 = ld.sample(unet_params, vae_params, rng, y)
+    p16 = cast_to_bf16({"unet": unet_params, "vae": vae_params})
+    out16 = ld.sample(p16["unet"], p16["vae"], rng, y, compute_dtype="bfloat16")
+    assert out16.shape == out32.shape
+    assert np.isfinite(np.asarray(out16, np.float32)).all()
+    # same RNG stream: outputs stay correlated (random tiny weights amplify
+    # bf16 divergence across diffusion steps, so the bar is loose)
+    corr = np.corrcoef(np.asarray(out16, np.float32).ravel(),
+                       np.asarray(out32).ravel())[0, 1]
+    assert corr > 0.3
