@@ -541,6 +541,12 @@ class SEVIRDataModule:
             self.raw_seq_len = SEVIR_LR_RAW_SEQ_LEN
         else:
             raise ValueError(f"unknown dataset '{dataset_name}'")
+        if sevir_dir is None:
+            raise ValueError(
+                "sevir_dir is required: pass --sevir-dir /path/to/sevirlr "
+                "(expects CATALOG.csv + data/), or --synthetic to generate "
+                "a synthetic dataset"
+            )
         self.catalog_path = os.path.join(sevir_dir, "CATALOG.csv")
         self.data_dir = os.path.join(sevir_dir, "data")
         self.seq_len = seq_len
