@@ -14,7 +14,7 @@ TPU-first notes:
   * all-True masks are elided entirely (plain softmax).
 """
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax
@@ -55,6 +55,18 @@ def compute_relative_position_index(cuboid_size: Tuple[int, int, int]) -> np.nda
     return rel.sum(-1)
 
 
+class _ParamHolder(nn.Module):
+    """Creates params under this module's name without running the op —
+    lets fused kernels consume raw weights while keeping the exact param tree
+    of the standard nn.Dense / nn.LayerNorm children."""
+
+    leaves: Tuple  # ((leaf_name, shape, init), ...)
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(n, init, shape) for n, shape, init in self.leaves)
+
+
 class CuboidSelfAttentionLayer(nn.Module):
     """Self-attention within non-overlapping (local or dilated) cuboids, with
     optional Swin-style shifted windows, learned relative-position bias, and
@@ -76,9 +88,84 @@ class CuboidSelfAttentionLayer(nn.Module):
     separate_global_qkv: bool = False
     global_dim_ratio: int = 1
     use_relative_pos: bool = True
-    use_pallas_attention: bool = False
+    # False | True (grouped scores kernel) | "layer" (whole-layer fusion)
+    use_pallas_attention: Union[bool, str] = False
     attn_linear_init_mode: str = "0"
     ffn_linear_init_mode: str = "2"  # the final-proj init mode (ref naming)
+
+    def _rel_bias(self, cuboid_volume: int):
+        """(heads, vol, vol) relative-position bias from the learned table."""
+        table = self.param(
+            "relative_position_bias_table",
+            trunc_normal(0.02),
+            (
+                (2 * self.cuboid_size[0] - 1)
+                * (2 * self.cuboid_size[1] - 1)
+                * (2 * self.cuboid_size[2] - 1),
+                self.num_heads,
+            ),
+        )
+        rel_idx = compute_relative_position_index(tuple(self.cuboid_size))
+        rel_idx = rel_idx[:cuboid_volume, :cuboid_volume]
+        bias = table[jnp.asarray(rel_idx.reshape(-1))]
+        bias = bias.reshape(cuboid_volume, cuboid_volume, self.num_heads)
+        return bias.transpose(2, 0, 1)
+
+    def _try_fused_layer(self, x, deterministic: bool):
+        """Route through the whole-layer Pallas kernel when the configuration
+        permits (no globals/mask/pad/shift, inference dropout); returns None
+        to fall back."""
+        if self.use_global_vector or self.qkv_bias or not self.use_final_proj:
+            return None
+        if not deterministic and (self.attn_drop > 0 or self.proj_drop > 0):
+            return None
+        B, T, H, W, C = x.shape
+        cuboid_size, shift_size = update_cuboid_size_shift_size(
+            (T, H, W), self.cuboid_size, self.shift_size, self.strategy
+        )
+        dims = (T, H, W)
+        pads = [(cuboid_size[i] - dims[i] % cuboid_size[i]) % cuboid_size[i]
+                for i in range(3)]
+        if any(pads) or any(shift_size):
+            return None
+        if compute_cuboid_self_attention_mask(
+            (T, H, W), cuboid_size, tuple(shift_size), tuple(self.strategy),
+            self.padding_type,
+        ) is not None:
+            return None
+
+        from ..ops.pallas_attention import fused_cuboid_attention_layer
+
+        vol = cuboid_size[0] * cuboid_size[1] * cuboid_size[2]
+        (ln_scale, ln_bias) = _ParamHolder(
+            leaves=(("scale", (C,), nn.initializers.ones),
+                    ("bias", (C,), nn.initializers.zeros)),
+            name="norm",
+        )()
+        (w_qkv,) = _ParamHolder(
+            leaves=(("kernel", (C, 3 * C), linear_init(self.attn_linear_init_mode)),),
+            name="qkv",
+        )()
+        (w_proj, b_proj) = _ParamHolder(
+            leaves=(("kernel", (C, C), linear_init(self.ffn_linear_init_mode)),
+                    ("bias", (C,), nn.initializers.zeros)),
+            name="proj",
+        )()
+        if self.use_relative_pos:
+            bias = self._rel_bias(vol)
+        else:
+            bias = jnp.zeros((self.num_heads, vol, vol), x.dtype)
+        scale = self.qk_scale or (C // self.num_heads) ** -0.5
+        reordered = cuboid_reorder(x, cuboid_size=cuboid_size, strategy=self.strategy)
+        out = fused_cuboid_attention_layer(
+            reordered, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+            num_heads=self.num_heads, scale=scale,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return cuboid_reorder_reverse(
+            out, cuboid_size=cuboid_size, strategy=self.strategy,
+            orig_data_shape=(T, H, W),
+        )
 
     @nn.compact
     def __call__(self, x, global_vectors=None, deterministic: bool = True):
@@ -90,6 +177,12 @@ class CuboidSelfAttentionLayer(nn.Module):
         head_C = self.dim // self.num_heads
         scale = self.qk_scale or head_C**-0.5
         gC = self.global_dim_ratio * self.dim
+
+        # ---- whole-layer Pallas fusion (v3) fast path ------------------- #
+        if self.use_pallas_attention == "layer":
+            fused = self._try_fused_layer(x, deterministic)
+            if fused is not None:
+                return fused
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         B, T, H, W, C_in = x.shape
@@ -129,24 +222,7 @@ class CuboidSelfAttentionLayer(nn.Module):
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         # (B, nC, vol, heads, head_C)
 
-        if self.use_relative_pos:
-            table = self.param(
-                "relative_position_bias_table",
-                trunc_normal(0.02),
-                (
-                    (2 * self.cuboid_size[0] - 1)
-                    * (2 * self.cuboid_size[1] - 1)
-                    * (2 * self.cuboid_size[2] - 1),
-                    self.num_heads,
-                ),
-            )
-            rel_idx = compute_relative_position_index(tuple(self.cuboid_size))
-            rel_idx = rel_idx[:cuboid_volume, :cuboid_volume]
-            bias = table[jnp.asarray(rel_idx.reshape(-1))]
-            bias = bias.reshape(cuboid_volume, cuboid_volume, self.num_heads)
-            bias = bias.transpose(2, 0, 1)  # (heads, vol, vol)
-        else:
-            bias = None
+        bias = self._rel_bias(cuboid_volume) if self.use_relative_pos else None
 
         if (
             self.use_pallas_attention

@@ -188,6 +188,108 @@ def fused_cuboid_attention_grouped(
     )(q, k, v, bias, mask)
 
 
+def _fused_layer_kernel(
+    x_ref,        # (1, G, vol, C)
+    ln_scale_ref,  # (C,)
+    ln_bias_ref,   # (C,)
+    wqkv_ref,      # (C, 3C)
+    bias_ref,      # (heads, vol, vol)
+    wproj_ref,     # (C, C)
+    bproj_ref,     # (C,)
+    o_ref,         # (1, G, vol, C)
+    acc_ref,       # scratch (G*vol, C) fp32
+    *, num_heads, scale, eps,
+):
+    G, vol, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    hc = C // num_heads
+    x = x_ref[0].reshape(G * vol, C).astype(jnp.float32)
+    # LayerNorm over C
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale_ref[...] + ln_bias_ref[...]
+    # per-head attention; W_qkv columns are [q | k | v] each (C, C),
+    # head h occupying columns h*hc:(h+1)*hc within its section
+    for h in range(num_heads):
+        wq = wqkv_ref[:, h * hc:(h + 1) * hc]
+        wk = wqkv_ref[:, C + h * hc:C + (h + 1) * hc]
+        wv = wqkv_ref[:, 2 * C + h * hc:2 * C + (h + 1) * hc]
+        q = jax.lax.dot(ln, wq, preferred_element_type=jnp.float32).reshape(G, vol, hc)
+        k = jax.lax.dot(ln, wk, preferred_element_type=jnp.float32).reshape(G, vol, hc)
+        v = jax.lax.dot(ln, wv, preferred_element_type=jnp.float32).reshape(G, vol, hc)
+        s = jax.lax.dot_general(
+            q * scale, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[h][None]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, vol, hc)
+        acc_ref[:, h * hc:(h + 1) * hc] = oh.reshape(G * vol, hc)
+    out = jax.lax.dot(acc_ref[...], wproj_ref[...],
+                      preferred_element_type=jnp.float32) + bproj_ref[...]
+    o_ref[0] = out.reshape(G, vol, C).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "cuboids_per_block",
+                              "eps", "interpret")
+)
+def fused_cuboid_attention_layer(
+    x: jnp.ndarray,          # (B, nC, vol, C) reordered cuboids
+    ln_scale: jnp.ndarray,   # (C,)
+    ln_bias: jnp.ndarray,    # (C,)
+    w_qkv: jnp.ndarray,      # (C, 3C)
+    bias: jnp.ndarray,       # (heads, vol, vol) relative-position bias
+    w_proj: jnp.ndarray,     # (C, C)
+    b_proj: jnp.ndarray,     # (C,)
+    num_heads: int,
+    scale: float,
+    cuboids_per_block: int = 16,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """v3: whole attention layer (LN + QKV + per-head attention + out-proj)
+    as ONE kernel — attacks the per-op overhead that dominates B=1 latency.
+    No-mask case (no shift / 'zeros' padding with exact divisibility), the
+    v1 axial configuration."""
+    B, nC, vol, C = x.shape
+    G = cuboids_per_block
+    while nC % G != 0:
+        G //= 2
+    G = max(G, 1)
+    grid = (B, nC // G)
+    kernel = functools.partial(
+        _fused_layer_kernel, num_heads=num_heads, scale=scale, eps=eps
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((C,), lambda b, n: (0,)),
+            pl.BlockSpec((C,), lambda b, n: (0,)),
+            pl.BlockSpec((C, 3 * C), lambda b, n: (0, 0)),
+            pl.BlockSpec((num_heads, vol, vol), lambda b, n: (0, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((C,), lambda b, n: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((G * vol, C), jnp.float32)] if _HAS_PLTPU else [],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nC * vol * C * (4 * C) + 4 * B * nC * vol * vol * C,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (w_qkv.size + w_proj.size) * 4 * (B * nC // G),
+            transcendentals=B * nC * num_heads * vol * vol,
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj)
+
+
 def cuboid_attention_reference(q, k, v, bias, mask=None, scale=1.0):
     """einsum reference with identical semantics (for tests/benches)."""
     s = jnp.einsum("bnhic,bnhjc->bnhij", q * scale, k) + bias[None, None]

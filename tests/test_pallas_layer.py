@@ -1,0 +1,83 @@
+"""Fused whole-attention-layer kernel (v3) equivalence in interpret mode."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from prediff_tpu.ops.pallas_attention import fused_cuboid_attention_layer
+
+
+def reference_layer(x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+                    num_heads, scale, eps=1e-5):
+    B, nC, vol, C = x.shape
+    hc = C // num_heads
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    ln = (x - mu) / jnp.sqrt(var + eps) * ln_scale + ln_bias
+    qkv = ln @ w_qkv
+    qkv = qkv.reshape(B, nC, vol, 3, num_heads, hc)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    s = jnp.einsum("bnihc,bnjhc->bnhij", q * scale, k) + bias[None, None]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bnhij,bnjhc->bnihc", p, v).reshape(B, nC, vol, C)
+    return o @ w_proj + b_proj
+
+
+@pytest.mark.parametrize("B,nC,vol,C,heads,G", [
+    (1, 16, 13, 64, 4, 16),
+    (2, 13, 16, 64, 4, 16),  # nC prime -> G falls to 1
+    (1, 8, 16, 32, 2, 4),
+])
+def test_fused_layer_matches_reference(B, nC, vol, C, heads, G):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, nC, vol, C).astype(np.float32))
+    ln_scale = jnp.asarray(rng.randn(C).astype(np.float32))
+    ln_bias = jnp.asarray(rng.randn(C).astype(np.float32))
+    w_qkv = jnp.asarray((rng.randn(C, 3 * C) * 0.05).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, vol, vol).astype(np.float32))
+    w_proj = jnp.asarray((rng.randn(C, C) * 0.05).astype(np.float32))
+    b_proj = jnp.asarray(rng.randn(C).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    got = fused_cuboid_attention_layer(
+        x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+        num_heads=heads, scale=scale, cuboids_per_block=G, interpret=True,
+    )
+    expected = reference_layer(x, ln_scale, ln_bias, w_qkv, bias, w_proj,
+                               b_proj, heads, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_layer_mode_matches_einsum_path():
+    from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
+
+    kw = dict(dim=32, num_heads=4, cuboid_size=(4, 1, 1), shift_size=(0, 0, 0),
+              strategy=("l", "l", "l"), padding_type="zeros",
+              attn_drop=0.0, proj_drop=0.0)
+    base = CuboidSelfAttentionLayer(**kw)
+    fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 4, 8, 8, 32).astype(np.float32))
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    out_base = base.apply({"params": params}, x)
+    out_fused = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
+                               rtol=5e-4, atol=5e-4)
+    # param trees must be identical regardless of which path initializes
+    params_fused = fused.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_fused)
+
+
+def test_layer_mode_falls_back_on_shift():
+    from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
+
+    kw = dict(dim=32, num_heads=4, cuboid_size=(2, 4, 4), shift_size=(1, 2, 2),
+              strategy=("l", "l", "l"), padding_type="ignore",
+              attn_drop=0.0, proj_drop=0.0)
+    base = CuboidSelfAttentionLayer(**kw)
+    fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
+    x = jnp.asarray(np.random.RandomState(4).randn(1, 4, 8, 8, 32).astype(np.float32))
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    out_base = base.apply({"params": params}, x)
+    out_fused = fused.apply({"params": params}, x)  # falls back to v2 kernel
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
+                               rtol=5e-4, atol=5e-4)
