@@ -5,7 +5,7 @@ Reference parity: the OmegaConf pattern in the driver scripts
 YAML file).  Shipped parity configs live in /configs (v1 values mirror
 scripts/{prediff,vae,alignment}/sevirlr/*_v1.yaml)."""
 import copy
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import yaml
 

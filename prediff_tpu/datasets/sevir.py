@@ -11,7 +11,7 @@ original offsets ('sevir').  Output layout defaults to NTHWC (TPU).
 """
 import datetime
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Union
+from typing import Callable, Dict, Optional, Sequence, Union
 
 import numpy as np
 

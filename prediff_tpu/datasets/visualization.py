@@ -14,7 +14,6 @@ try:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib.colors import ListedColormap, BoundaryNorm
-    from matplotlib.font_manager import FontProperties
     from matplotlib.patches import Patch
 except ImportError:  # pragma: no cover
     plt = None

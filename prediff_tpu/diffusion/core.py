@@ -3,7 +3,7 @@
 Every function is jit/scan/grad-friendly: no classes, no state, schedule
 threads through as a pytree.
 """
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

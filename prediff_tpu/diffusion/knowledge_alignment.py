@@ -9,13 +9,12 @@ TPU-first: the reference re-enters torch autograd inside its Python sampling
 loop (`torch.enable_grad` + `autograd.grad`); here the guidance gradient is
 plain ``jax.grad`` of the alignment energy wrt z_t, composed *inside* the
 scanned sampling step and compiled once."""
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..models.alignment import NoisyCuboidTransformerEncoder
 
 
 def avg_x_objective(x: jnp.ndarray) -> jnp.ndarray:

@@ -8,8 +8,7 @@ The reference runs a Python loop of 1000 device round-trips per forecast
 ``jax.random.fold_in``), alignment guidance is in-graph ``jax.grad``, and the
 VAE decode is fused into the same jit.
 """
-import functools
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -7,8 +7,6 @@ follows the standard Wang et al. formulation with an 11x11 uniform window
 data_range inferred; we take data_range=1.0 for [0,1] VIL).
 CRPS is the fair ensemble estimator — part of the rebuild's north-star
 metric suite (BASELINE.md)."""
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ Modes:
   conv   "2": zeros
   embed  "0": trunc-normal std=0.02
 """
-import jax.numpy as jnp
-from jax import nn as jnn
 from jax.nn import initializers as jinit
 
 

@@ -14,7 +14,7 @@ merged, e.g. torch ``layer.0`` -> flax ``layer_0``) so checkpoint conversion
 is mechanical (see prediff_tpu/utils/convert.py).
 """
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

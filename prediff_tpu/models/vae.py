@@ -10,7 +10,7 @@ ResnetBlock2D (taming/resnet.py:367), single-head AttentionBlock
 All convs are NHWC; GroupNorm eps 1e-6; module names mirror the torch
 attribute paths for mechanical checkpoint conversion.
 """
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

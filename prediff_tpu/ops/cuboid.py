@@ -12,7 +12,7 @@ TPU-first design notes:
     constant (the reference instead lru_caches device tensors at runtime).
 """
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -5,15 +5,14 @@ The one-stop replacement for a reference user's inference workflow
 serving: everything jitted and cached per batch shape, ensembles batched
 across the device mesh.
 """
-from typing import Dict, Optional, Sequence, Union
+from typing import Dict, Optional, Union
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .config import ConfigDict, prediff_default_config, load_config
+from .config import ConfigDict, prediff_default_config
 from .factory import build_pipeline
-from .diffusion.knowledge_alignment import get_alignment_kwargs_avg_x
 from .utils.checkpoint import load_params_npz, load_pretrained_torch, PRETRAINED_NAMES
 
 

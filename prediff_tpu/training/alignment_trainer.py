@@ -3,7 +3,7 @@
 
 U(z_t, t, y, zc) is regressed onto target_fn(x) (per-frame mean intensity for
 SEVIR, sevir.py:41) from q_sampled noisy latents."""
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -4,8 +4,7 @@ PreDiffSEVIRPLModule training path (train_sevirlr_prediff.py:70,761).
 One jitted, sharded train step: encode -> q_sample -> UNet -> weighted loss
 -> AdamW (+warmup/cosine) -> EMA, with the batch sharded on the ``data`` mesh
 axis and params replicated (XLA inserts the gradient all-reduce)."""
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ decoder's final conv kernel (contperceptual.py:58-68) is computed with two
 in-graph ``jax.grad`` calls on kernel-substituted closures — no autograd mode
 switches; the disc_start warmup gate is arithmetic (step >= threshold), not
 control flow."""
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

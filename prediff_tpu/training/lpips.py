@@ -9,8 +9,6 @@ slice1/0, slice2/5, ... lin0/model/1).
 The SEVIR-LR v1 recipe trains with perceptual_weight=0, so LPIPS is optional;
 plug an instance into VAETrainer(perceptual_fn=...) when weights are present.
 """
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -1,5 +1,5 @@
 """Train state with EMA shadow params, as a flax.struct pytree."""
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import optax

@@ -17,7 +17,7 @@ mapping mechanical:
     Embed   weight                 -> embedding
     anything else (bias, tables, logvar, ...) copied verbatim.
 """
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, Tuple
 
 import numpy as np
 
