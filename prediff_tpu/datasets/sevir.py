@@ -389,9 +389,15 @@ class SEVIRDataLoader:
 
     def __iter__(self):
         self.reset(shuffle=self.shuffle)
-        for i in range(len(self)):
-            yield self._idx_sample(i + self.start_event_idx * self.num_seq_per_event
-                                   // self.batch_size)
+        if self.sample_mode == "random":
+            for _ in range(len(self)):
+                yield self._random_sample()
+        else:
+            for i in range(len(self)):
+                yield self._idx_sample(
+                    i + self.start_event_idx * self.num_seq_per_event
+                    // self.batch_size
+                )
 
     def _random_sample(self):
         """One random batch (ref :747-780)."""

@@ -113,3 +113,20 @@ def test_synthetic_iterator():
     assert len(batches) == 2
     assert batches[0].shape == (2, 13, 32, 32, 1)
     assert 0 <= batches[0].min() and batches[0].max() <= 1.0
+
+
+def test_loader_random_mode(synth_root):
+    dl = SEVIRDataLoader(
+        data_types=["vil"], seq_len=13, raw_seq_len=25, stride=6,
+        sample_mode="random", layout="NTHWC",
+        sevir_catalog=f"{synth_root}/CATALOG.csv",
+        sevir_data_dir=f"{synth_root}/data", shuffle_seed=3,
+    )
+    batches = list(dl)
+    assert len(batches) == len(dl)
+    assert all(b["vil"].shape == (1, 13, 32, 32, 1) for b in batches)
+    # random windows: not all batches identical
+    assert any(
+        not np.allclose(batches[0]["vil"], b["vil"]) for b in batches[1:]
+    )
+    dl.close()
