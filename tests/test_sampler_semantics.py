@@ -1,0 +1,121 @@
+"""Analytic-stub tests: the sampler recursion and guidance mean-shift match
+the DDPM equations exactly (no neural nets involved)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from prediff_tpu.diffusion import LatentDiffusion, KnowledgeAlignment, core
+from prediff_tpu.diffusion.schedule import make_gaussian_schedule
+
+
+LAT = (2, 4, 4, 2)
+
+
+def make_stub_ld(timesteps=6, alignment=None, eps_value=0.0):
+    """LatentDiffusion whose 'UNet' predicts a constant eps and whose 'VAE'
+    is the identity (latent == pixel)."""
+
+    def unet_apply(variables, z, t, zc, **kw):
+        return jnp.full_like(z, eps_value)
+
+    def vae_encode(variables, frames):  # moments = (mean | logvar=-inf-ish)
+        return jnp.concatenate([frames, jnp.full_like(frames, -30.0)], axis=-1)
+
+    def vae_decode(variables, frames):
+        return frames
+
+    return LatentDiffusion(
+        unet_apply=unet_apply,
+        vae_apply_encode=vae_encode,
+        vae_apply_decode=vae_decode,
+        timesteps=timesteps,
+        data_shape=LAT,
+        latent_shape=LAT,
+        cond_latent_shape=LAT,
+        alignment=alignment,
+    )
+
+
+def manual_ddpm_chain(schedule, x_T, eps_value, rng, batch_size):
+    """Hand-rolled reference recursion using the registered buffers."""
+    z = x_T
+    _, rng_loop = jax.random.split(rng)
+    for t in range(schedule.num_timesteps - 1, -1, -1):
+        t_b = jnp.full((batch_size,), t, jnp.int32)
+        eps = jnp.full_like(z, eps_value)
+        z0 = core.predict_start_from_noise(schedule, z, t_b, eps)
+        mean, _, logv = core.q_posterior(schedule, z0, z, t_b)
+        step_rng = jax.random.fold_in(rng_loop, t)
+        noise = jax.random.normal(step_rng, z.shape, z.dtype)
+        nz = 1.0 if t > 0 else 0.0
+        z = mean + nz * jnp.exp(0.5 * logv) * noise
+    return z
+
+
+def test_sampler_matches_manual_recursion():
+    ld = make_stub_ld(eps_value=0.3)
+    rng = jax.random.PRNGKey(5)
+    y = jnp.zeros((1,) + LAT)
+    got = ld.sample(None, None, rng, y, return_decoded=False)
+    # reproduce x_T generation exactly like sample_fn does
+    rng_init, rng_loop_parent = jax.random.split(rng)
+    x_T = jax.random.normal(rng_init, (1,) + LAT, jnp.float32)
+    expected = manual_ddpm_chain(ld.schedule, x_T, 0.3, rng, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_guidance_mean_shift_analytic():
+    """Energy = c * sum(z) has gradient c everywhere, so each guided step's
+    mean shifts by exactly -exp(0.5 logvar) * guide_scale * c."""
+    c = 0.07
+    guide = 3.0
+
+    def align_apply(variables, zt, t, zc=None, y=None):
+        # U whose mean over T then L2 norm gives energy c*sum(z): easiest is
+        # to bypass and craft energy directly via a linear readout:
+        return zt  # unused; energy overridden below
+
+    align = KnowledgeAlignment(params={}, guide_scale=guide, apply_fn=align_apply)
+
+    # monkeypatch-style: subclass overriding the energy
+    class LinearAlign(KnowledgeAlignment):
+        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None):
+            return c * jnp.sum(zt)
+
+    align = LinearAlign(params={}, guide_scale=guide, apply_fn=align_apply)
+    zt = jnp.asarray(np.random.RandomState(0).randn(1, *LAT).astype(np.float32))
+    shift = align.get_mean_shift(zt, jnp.array([2]), jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(shift), guide * c, rtol=1e-6)
+
+    # and through p_sample: guided mean == unguided mean - exp(.5 logv)*shift
+    ld = make_stub_ld(alignment=align)
+    sch = ld.schedule
+    t_b = jnp.array([3])
+    z = zt
+    eps = jnp.zeros_like(z)
+    z0 = core.predict_start_from_noise(sch, z, t_b, eps)
+    mean, _, logv = core.q_posterior(sch, z0, z, t_b)
+    rng = jax.random.PRNGKey(0)
+    unguided = ld._p_sample_step(None, {}, z, t_b, None, None, jnp.zeros((1, 1)),
+                                 rng, use_alignment=False)
+    guided = ld._p_sample_step(None, {}, z, t_b, None, None, jnp.zeros((1, 1)),
+                               rng, use_alignment=True)
+    np.testing.assert_allclose(
+        np.asarray(unguided - guided),
+        np.asarray(jnp.exp(0.5 * logv) * guide * c * jnp.ones_like(z)),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_eps_zero_sampler_contracts_to_zero_mean():
+    """With eps-prediction == 0, z0_pred = z_t / sqrt(abar_t): the chain stays
+    finite and centred (statistical sanity of the recursion)."""
+    ld = make_stub_ld(timesteps=20, eps_value=0.0)
+    rng = jax.random.PRNGKey(1)
+    y = jnp.zeros((4,) + LAT)
+    out = ld.sample(None, None, rng, y, return_decoded=False)
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all()
+    assert abs(arr.mean()) < 0.5
