@@ -91,7 +91,7 @@ def optim_default() -> Dict:
         lr=1.0e-3, wd=1.0e-5, betas=[0.9, 0.999], gradient_clip_val=1.0,
         max_epochs=2000, loss_type="l2", warmup_percentage=0.1,
         lr_scheduler_mode="cosine", min_lr_ratio=1.0e-3,
-        warmup_min_lr_ratio=0.1, monitor="val/loss", early_stop=False,
+        warmup_min_lr_ratio=0.1, monitor="valid_loss_epoch", early_stop=False,
         early_stop_mode="min", early_stop_patience=100, save_top_k=3,
     )
 
@@ -107,6 +107,9 @@ def diffusion_default() -> Dict:
         num_timesteps_cond=None, cond_stage_trainable=False,
         cond_stage_forward=None, scale_by_std=False, scale_factor=1.0,
         latent_cond_shape=[7, 16, 16, 64],
+        # frames per lax.map chunk in decode (the reference's use_slicing
+        # memory escape hatch, taming/autoencoder_kl.py:91-113); None = all
+        decode_chunk_size=None,
     )
 
 
@@ -186,7 +189,11 @@ def eval_default() -> Dict:
         test_example_data_idx_list=[0, 16, 32, 48, 64, 72, 96, 108, 128],
         eval_example_only=True, eval_aligned=True, eval_unaligned=True,
         num_samples_per_context=1, fs=20, label_offset=[-0.5, 0.5],
-        label_avg_int=False, fvd_features=400,
+        label_avg_int=False, fvd_features=400, fvd=True, fvd_resolution=224,
+        # Validation-time forecasts use DDIM-k: checkpoint selection only needs
+        # the CSI *ranking*, which DDIM-50 preserves at ~1/20 the cost of the
+        # reference's 1000-step DDPM; test eval still defaults to full DDPM.
+        val_ddim_steps=50,
     )
 
 

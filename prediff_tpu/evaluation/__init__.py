@@ -14,3 +14,4 @@ from .fvd import (
     frechet_distance,
     preprocess_video,
 )
+from .suite import ForecastEvalSuite

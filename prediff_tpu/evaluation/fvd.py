@@ -107,7 +107,11 @@ class InceptionI3d(nn.Module):
         x = InceptionModule((256, 160, 320, 32, 128, 128), name="Mixed_5b")(x, train)
         x = InceptionModule((384, 192, 384, 48, 128, 128), name="Mixed_5c")(x, train)
         # head: avg_pool (2,7,7) stride 1 VALID -> logits conv -> squeeze -> mean T
-        x = nn.avg_pool(x, window_shape=(2, 7, 7), strides=(1, 1, 1), padding="VALID")
+        # window clamps to the feature map so sub-224 / short-T inputs remain
+        # usable (identical to the reference at its designed 224x224, T>=9,
+        # where the features are exactly (T', 7, 7); the torch version errors)
+        window = tuple(min(k, s) for k, s in zip((2, 7, 7), x.shape[1:4]))
+        x = nn.avg_pool(x, window_shape=window, strides=(1, 1, 1), padding="VALID")
         x = Unit3D(self.num_classes, (1, 1, 1), use_batch_norm=False,
                    use_bias=True, use_activation=False, name="logits")(x, train)
         x = x.squeeze(3).squeeze(2)  # (B, T', C)
@@ -202,7 +206,8 @@ class FrechetVideoDistance:
 
     def __init__(self, feature_fn=None, num_features: int = 400,
                  i3d_params=None, reset_real_features: bool = True,
-                 normalize: bool = False, auto_t: bool = False):
+                 normalize: bool = False, auto_t: bool = False,
+                 target_resolution: int = 224):
         if feature_fn is None:
             model = InceptionI3d(num_classes=num_features)
             assert i3d_params is not None, (
@@ -210,8 +215,14 @@ class FrechetVideoDistance:
                 "or a custom feature_fn"
             )
             def feature_fn(videos):
-                return model.apply(i3d_params, preprocess_video(videos), train=False)
-        self.feature_fn = jax.jit(feature_fn)
+                return model.apply(
+                    i3d_params, preprocess_video(videos, target_resolution),
+                    train=False,
+                )
+            feature_fn = jax.jit(feature_fn)
+        # user-supplied feature_fns are used as-is so several metric instances
+        # (aligned/unaligned suites) can share one compiled extractor
+        self.feature_fn = feature_fn
         self.num_features = num_features
         self.reset_real_features = reset_real_features
         self.normalize = normalize
@@ -226,7 +237,11 @@ class FrechetVideoDistance:
                     f"temporal length {videos.shape[1]} < {self.min_t}; "
                     "set auto_t=True to repeat-interleave"
                 )
-            videos = jnp.repeat(videos, 2, axis=1)
+            # repeat-interleave until >= min_t (ref :224-233 repeats once,
+            # which is the same factor for every T in [5, 9); shorter inputs
+            # would crash the reference's pooling)
+            reps = -(-self.min_t // videos.shape[1])
+            videos = jnp.repeat(videos, reps, axis=1)
         if self.normalize:
             videos = videos / 255.0
         if videos.shape[-1] == 1:

@@ -155,24 +155,108 @@ def main():
     if args.ckpt_name:
         state = restore_checkpoint(os.path.join(save_dir, args.ckpt_name), state)
 
+    train_example = {}  # first train batch of the epoch, for periodic vis
+
     def train_batches(epoch):
-        for b in dm.train_batches(epoch):
+        for i, b in enumerate(dm.train_batches(epoch)):
             if b.shape[0] != cfg.optim.micro_batch_size:
                 continue  # drop ragged tail for static shapes
             x, y = split_batch(b)
+            if i == 0:
+                train_example["xy"] = (x, y)
             yield shard_batch(x, mesh), shard_batch(y, mesh)
 
+    # ---- validation: diffusion loss + sampled-forecast skill scores ----
+    # The reference's validation_step draws num_samples_per_context forecasts
+    # on the example indices, accumulates SEVIRSkillScore/MSE/MAE, and selects
+    # checkpoints on valid_loss_epoch = -CSI_avg (ref :813-899, monitor :510).
+    from prediff_tpu.diffusion.knowledge_alignment import get_alignment_kwargs_avg_x
+    from prediff_tpu.evaluation import ForecastEvalSuite
+
+    suite_names = (
+        (["aligned"] if use_align and cfg.eval.eval_aligned else [])
+        + (["unaligned"] if cfg.eval.eval_unaligned else [])
+    )
+    val_ddim = cfg.eval.val_ddim_steps
+    val_sampler_kwargs = (
+        dict(sampler="ddim", ddim_steps=int(val_ddim))
+        if val_ddim and val_ddim < cfg.model.diffusion.timesteps else {}
+    )
+    vis_dir = os.path.join(save_dir, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    val_counter = {"n": 0}
+
+    def make_suite():
+        return ForecastEvalSuite(
+            layout=cfg.layout.layout, metrics_mode=cfg.dataset.metrics_mode,
+            seq_len=cfg.layout.out_len,
+            threshold_list=tuple(cfg.dataset.threshold_list),
+            metrics_list=tuple(cfg.dataset.metrics_list),
+        )
+
     def val_fn(state):
+        val_counter["n"] += 1
         vals = []
-        for b in dm.val_batches():
+        suites = {name: make_suite() for name in suite_names}
+        vis_saved = False
+        for bidx, b in enumerate(dm.val_batches()):
             if b.shape[0] != cfg.optim.micro_batch_size:
                 continue
             x, y = split_batch(b)
             m = trainer.val_step(state, rng, shard_batch(x, mesh), shard_batch(y, mesh))
             vals.append({k: float(v) for k, v in m.items()})
-        if not vals:
-            return {}
-        return {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+            data_idx = bidx * cfg.optim.micro_batch_size
+            if cfg.eval.eval_example_only and (
+                data_idx not in cfg.eval.val_example_data_idx_list
+            ):
+                continue
+            # sample with the current (non-EMA) params, as the reference does
+            sample_rng = jax.random.fold_in(rng, 7919 * val_counter["n"] + bidx)
+            vis_preds, vis_labels = [], []
+            for name, suite in suites.items():
+                kwargs = dict(val_sampler_kwargs)
+                if name == "aligned":
+                    kwargs.update(use_alignment=True,
+                                  alignment_kwargs=get_alignment_kwargs_avg_x(x))
+                preds = ld.sample_ensemble(
+                    state.params["unet"], params["vae"], sample_rng, y,
+                    num_samples=cfg.eval.num_samples_per_context, **kwargs,
+                )
+                suite.update(preds, x)
+                vis_preds.append(preds[0])
+                vis_labels.append(f"{name}_pred")
+            if not vis_saved:
+                try:
+                    save_example_vis(
+                        save_dir, cfg, y, x, vis_preds, vis_labels,
+                        f"vis/val_epoch{val_counter['n']}_data{data_idx}",
+                    )
+                except Exception as e:  # vis must never break training
+                    print(f"val vis failed: {e}")
+                vis_saved = True
+        # train-batch example forecast (parity: save_vis_step_end on train
+        # example indices, ref :763-809)
+        if "xy" in train_example:
+            x, y = train_example["xy"]
+            pred = ld.sample_ensemble(
+                state.params["unet"], params["vae"],
+                jax.random.fold_in(rng, 2_000_003 + val_counter["n"]), y,
+                num_samples=1, **val_sampler_kwargs,
+            )
+            try:
+                save_example_vis(save_dir, cfg, y, x, [pred[0]], ["train_pred"],
+                                 f"vis/train_epoch{val_counter['n']}")
+            except Exception as e:
+                print(f"train vis failed: {e}")
+        out = (
+            {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+            if vals else {}
+        )
+        for name, suite in suites.items():
+            out.update(suite.compute(
+                "valid" if name == "unaligned" else "valid_aligned"
+            ))
+        return out
 
     state = fit(
         state=state,
@@ -195,11 +279,62 @@ def main():
           f"checkpoints in {save_dir}")
 
 
-def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
-    """Test-set evaluation: sampling + CSI/metrics (+ aligned variant)."""
+def build_fvd_feature_fn(cfg, pretrained_dir):
+    """Shared, jitted I3D feature extractor for FVD
+    (ref train_sevirlr_prediff.py:238-269, 942-1015).
+
+    Loads the published Kinetics I3D weights from ``pretrained_dir`` when
+    present; otherwise runs with a randomly initialized I3D so the FVD wiring
+    stays exercisable offline (sanity mode, like the reference's missing-VAE
+    warning at :156).  Returned fn is shared by the aligned and unaligned
+    suites so the I3D compiles once."""
     import jax
     import jax.numpy as jnp
-    from prediff_tpu.evaluation import SEVIRSkillScore, MeanMetric, mse, mae, ssim, crps_ensemble
+    from prediff_tpu.evaluation import InceptionI3d, preprocess_video
+    from prediff_tpu.utils.checkpoint import PRETRAINED_NAMES
+
+    nf = int(cfg.eval.fvd_features)
+    res = int(cfg.eval.fvd_resolution)
+    model = InceptionI3d(num_classes=nf)
+    t_init = 2 * cfg.layout.out_len if cfg.layout.out_len < 9 else cfg.layout.out_len
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.zeros((1, t_init, res, res, 3)), train=False
+    )
+    name = PRETRAINED_NAMES.get(f"i3d{nf}")
+    path = os.path.join(pretrained_dir, name) if pretrained_dir and name else None
+    if path and os.path.exists(path):
+        from prediff_tpu.utils.convert import (
+            convert_torch_state_dict, convert_torch_batch_stats,
+            load_torch_checkpoint,
+        )
+        sd = load_torch_checkpoint(path)
+        variables = {
+            "params": convert_torch_state_dict(
+                sd, variables["params"],
+                skip_suffixes=("num_batches_tracked", "running_mean",
+                               "running_var"),
+            ),
+            "batch_stats": convert_torch_batch_stats(sd, variables["batch_stats"]),
+        }
+    else:
+        print("WARNING: Kinetics I3D weights not found — FVD uses a randomly "
+              "initialized I3D (relative values meaningless; wiring-only mode)")
+
+    def feature_fn(videos):
+        return model.apply(variables, preprocess_video(videos, res), train=False)
+
+    return jax.jit(feature_fn), nf
+
+
+def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
+    """Test-set evaluation: batched-ensemble sampling + CSI/MSE/MAE/SSIM/CRPS
+    (+FVD, +aligned variants, +.npy prediction dumps).
+
+    Parity: test_step/on_test_epoch_end (ref :905-1015) — ensemble members are
+    folded into the batch axis via ``sample_ensemble`` (one compiled dispatch
+    per batch per suite) instead of the reference's per-member Python loop."""
+    import jax
+    from prediff_tpu.evaluation import ForecastEvalSuite, FrechetVideoDistance
     from prediff_tpu.diffusion.knowledge_alignment import get_alignment_kwargs_avg_x
     from prediff_tpu.training.loop import MetricLogger
 
@@ -210,76 +345,75 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
         sampler_kwargs = dict(sampler="ddim", ddim_steps=args.ddim_steps)
     if args.timesteps:
         sampler_kwargs["timesteps"] = args.timesteps
-    suites = {}
-    for name in (["aligned"] if use_align else []) + (
+    names = (["aligned"] if use_align else []) + (
         ["unaligned"] if cfg.eval.eval_unaligned else []
-    ):
-        suites[name] = dict(
-            score=SEVIRSkillScore(
-                layout=cfg.layout.layout, mode=cfg.dataset.metrics_mode,
-                seq_len=cfg.layout.out_len,
-                threshold_list=tuple(cfg.dataset.threshold_list),
-                metrics_list=tuple(cfg.dataset.metrics_list),
-            ),
-            mse=MeanMetric(), mae=MeanMetric(), ssim=MeanMetric(),
-            crps=MeanMetric(),
+    )
+    fvd_feature_fn = nf = None
+    if cfg.eval.fvd:
+        fvd_feature_fn, nf = build_fvd_feature_fn(cfg, args.pretrained_dir)
+    suites = {
+        name: ForecastEvalSuite(
+            layout=cfg.layout.layout, metrics_mode=cfg.dataset.metrics_mode,
+            seq_len=cfg.layout.out_len,
+            threshold_list=tuple(cfg.dataset.threshold_list),
+            metrics_list=tuple(cfg.dataset.metrics_list),
+            fvd=FrechetVideoDistance(
+                feature_fn=fvd_feature_fn, num_features=nf, auto_t=True,
+                reset_real_features=False,
+            ) if fvd_feature_fn is not None else None,
         )
+        for name in names
+    }
+    npy_dir = os.path.join(save_dir, "npy")
+    if cfg.logging.save_npy:
+        os.makedirs(npy_dir, exist_ok=True)
+    rank = jax.process_index()
     logger = MetricLogger(save_dir)
     n_samples = args.num_samples or cfg.eval.num_samples_per_context
     for bidx, batch in enumerate(dm.test_batches()):
+        data_idx = bidx * cfg.optim.micro_batch_size
         if cfg.eval.eval_example_only and (
-            bidx * cfg.optim.micro_batch_size
-            not in cfg.eval.test_example_data_idx_list
+            data_idx not in cfg.eval.test_example_data_idx_list
         ):
             continue
         x, y = split_batch(batch)
-        first_preds = []
+        vis_preds, vis_labels = [], []
         for name, suite in suites.items():
-            preds = []
-            for i in range(n_samples):
-                kwargs = dict(sampler_kwargs)
-                if name == "aligned":
-                    kwargs = dict(
-                        use_alignment=True,
-                        alignment_kwargs=get_alignment_kwargs_avg_x(x),
+            kwargs = dict(sampler_kwargs)
+            if name == "aligned":
+                kwargs.update(
+                    use_alignment=True,
+                    alignment_kwargs=get_alignment_kwargs_avg_x(x),
+                )
+            preds = ld.sample_ensemble(
+                params["unet"], params["vae"],
+                jax.random.fold_in(rng, bidx), y,
+                num_samples=n_samples, **kwargs,
+            )  # (M, B, T, H, W, C)
+            suite.update(preds, x)
+            if cfg.logging.save_npy:  # ref :931-934 naming
+                suffix = "_aligned" if name == "aligned" else ""
+                for i, p in enumerate(preds):
+                    np.save(
+                        os.path.join(
+                            npy_dir,
+                            f"batch{bidx}_rank{rank}_sample{i}{suffix}.npy",
+                        ),
+                        np.asarray(p),
                     )
-                pred = ld.sample(
-                    params["unet"], params["vae"],
-                    jax.random.fold_in(rng, bidx * 131 + i), y, **kwargs,
-                )
-                preds.append(pred)
-                if bidx == 0 and i == 0:
-                    first_preds.append((f"{name}_pred", pred))
-                suite["score"].update(pred, x)
-                suite["mse"].update(mse(pred, x))
-                suite["mae"].update(mae(pred, x))
-                B, T = pred.shape[:2]
-                suite["ssim"].update(
-                    ssim(pred.reshape((B * T,) + pred.shape[2:]),
-                         x.reshape((B * T,) + x.shape[2:]))
-                )
-            if len(preds) > 1:
-                suite["crps"].update(crps_ensemble(jnp.stack(preds), x))
-        if bidx == 0 and first_preds:
+            vis_preds.append(preds[0])
+            vis_labels.append(f"{name}_pred")
+        if vis_preds:
             try:
-                save_example_vis(save_dir, cfg, y, x,
-                                 [p for _, p in first_preds],
-                                 [n for n, _ in first_preds], "test_example_0")
+                save_example_vis(save_dir, cfg, y, x, vis_preds, vis_labels,
+                                 f"test_example_{data_idx}")
             except Exception as e:  # visualization must not break eval
                 print(f"vis failed: {e}")
     results = {}
     for name, suite in suites.items():
-        scores = suite["score"].compute()
-        results[f"test_{name}_mse"] = suite["mse"].compute()
-        results[f"test_{name}_mae"] = suite["mae"].compute()
-        results[f"test_{name}_ssim"] = suite["ssim"].compute()
-        if suite["crps"].count:
-            results[f"test_{name}_crps"] = suite["crps"].compute()
-        for th, md in scores.items():
-            for metric, v in md.items():
-                results[f"test_{name}_{metric}_{th}"] = (
-                    float(np.mean(v)) if hasattr(v, "__len__") else float(v)
-                )
+        results.update(
+            suite.compute("test" if name == "unaligned" else "test_aligned")
+        )
     logger.log(0, results)
     for k in sorted(results):
         print(f"{k}: {results[k]:.4f}")

@@ -32,17 +32,33 @@ def run_script(script, *args, timeout=420):
 
 @pytest.mark.filterwarnings("ignore")
 def test_train_prediff_smoke(tmp_path):
+    import json
+
+    save = str(tmp_path / "prediff")
     run_script(
-        "train_sevirlr_prediff.py", "--save", f"../{tmp_path}/prediff",
+        "train_sevirlr_prediff.py", "--save", save,
         "--cfg", TINY, "--synthetic", "--max-steps", "3",
     )
-    assert os.path.exists(f"{tmp_path}/prediff/metrics.jsonl") or True
+    # validation must sample forecasts and log -CSI as the checkpoint monitor
+    # (ref validation_step/on_validation_epoch_end :813-899)
+    records = [json.loads(l) for l in open(f"{save}/metrics.jsonl")]
+    keys = {k for r in records for k in r}
+    assert "valid_loss_epoch" in keys
+    assert "valid_csi_avg_epoch" in keys
+    assert "valid_csi_16_epoch" in keys
+    assert "valid_aligned_csi_avg_epoch" in keys
+    rec = next(r for r in records if "valid_loss_epoch" in r)
+    assert rec["valid_loss_epoch"] == -rec["valid_csi_avg_epoch"]
+    # per-epoch example visualization
+    vis = os.listdir(f"{save}/vis")
+    assert any(f.startswith("val_epoch") and f.endswith(".png") for f in vis)
+    assert any(f.startswith("train_epoch") and f.endswith(".png") for f in vis)
 
 
 @pytest.mark.filterwarnings("ignore")
 def test_train_vae_smoke(tmp_path):
     run_script(
-        "train_vae_sevirlr.py", "--save", f"../{tmp_path}/vae",
+        "train_vae_sevirlr.py", "--save", str(tmp_path / "vae"),
         "--cfg", TINY, "--synthetic", "--max-steps", "3",
     )
 
@@ -50,9 +66,29 @@ def test_train_vae_smoke(tmp_path):
 @pytest.mark.filterwarnings("ignore")
 def test_train_alignment_smoke(tmp_path):
     run_script(
-        "train_sevirlr_avg_x.py", "--save", f"../{tmp_path}/align",
+        "train_sevirlr_avg_x.py", "--save", str(tmp_path / "align"),
         "--cfg", TINY, "--synthetic", "--max-steps", "3",
     )
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_eval_prediff_smoke(tmp_path):
+    """--test: batched-ensemble eval with FVD + .npy dumps + example PNG
+    (ref test_step/on_test_epoch_end :905-1015)."""
+    save = str(tmp_path / "eval")
+    result = run_script(
+        "train_sevirlr_prediff.py", "--save", save, "--cfg", TINY,
+        "--synthetic", "--test", "--num-samples", "2", "--ddim-steps", "2",
+        timeout=560,
+    )
+    for key in ("test_csi_avg_epoch", "test_fvd_epoch",
+                "test_aligned_csi_avg_epoch", "test_aligned_fvd_epoch",
+                "test_crps_epoch", "test_ssim_epoch"):
+        assert key in result.stdout, f"missing {key} in eval output"
+    assert os.path.exists(f"{save}/test_example_0.png")
+    npys = os.listdir(f"{save}/npy")
+    assert "batch0_rank0_sample0.npy" in npys
+    assert "batch0_rank0_sample1_aligned.npy" in npys
 
 
 @pytest.mark.filterwarnings("ignore")
