@@ -54,6 +54,41 @@ _LAYOUT_FROM_NHWT = {
 }
 
 
+def rasterize_lightning(
+    strikes: np.ndarray,
+    grid_hw: Sequence[int] = (48, 48),
+    frame_times: np.ndarray = LIGHTING_FRAME_TIMES,
+) -> np.ndarray:
+    """Rasterize SEVIR's sparse lightning-event table to per-frame counts.
+
+    SEVIR stores ``lght`` as an (N, 5) table of individual strikes —
+    column 0 is the strike time in seconds relative to the event window,
+    columns 3/4 are integer pixel coordinates on a 48x48 grid.  The dense
+    representation is simply a 3-D histogram: pixel bins are the integer grid,
+    frame bins are ``frame_times`` (left edges, 5-minute spacing).
+
+    Semantics match the reference (sevir_dataloader.py:391-431): strikes
+    outside the grid are dropped, strikes before the first frame time are
+    counted into frame 0, strikes at/after the last frame time into the last
+    frame.  Returns (H, W, T) int16 counts.
+    """
+    H, W = grid_hw
+    T = len(frame_times)
+    grid = np.zeros((H, W, T), np.int16)
+    strikes = np.asarray(strikes)
+    if strikes.size == 0:
+        return grid
+    x = strikes[:, 3].astype(np.int64)
+    y = strikes[:, 4].astype(np.int64)
+    in_grid = (x >= 0) & (x < H) & (y >= 0) & (y < W)
+    x, y = x[in_grid], y[in_grid]
+    # frame index: rightmost bin whose left edge is <= t, clamped into range
+    t_bin = np.searchsorted(frame_times, strikes[in_grid, 0], side="right") - 1
+    t_bin = np.clip(t_bin, 0, T - 1)
+    np.add.at(grid, (y, x, t_bin), 1)
+    return grid
+
+
 def change_layout(data: np.ndarray, in_layout: str = "NHWT",
                   out_layout: str = "NHWT") -> np.ndarray:
     """Permute between layouts; 'C' denotes a singleton channel axis."""
@@ -249,86 +284,46 @@ class SEVIRDataLoader:
         return self.total_num_seq // self.batch_size
 
     # ------------------------------------------------------------ #
-    def _read_data(self, row: Dict, data: Dict) -> Dict:
-        imgtyps = np.unique([x.split("_")[0] for x in row.keys()])
-        for t in imgtyps:
-            fname = row[f"{t}_filename"]
-            idx = row[f"{t}_index"]
-            t_slice = slice(0, None)
-            if t == "lght":
-                lght_data = self._hdf_files[fname][idx][:]
-                data_i = self._lght_to_grid(lght_data, t_slice)
-            else:
-                data_i = self._hdf_files[fname][t][idx:idx + 1, :, :, t_slice]
-            data[t] = np.concatenate((data[t], data_i), axis=0) if t in data else data_i
-        return data
+    def _read_event(self, row) -> Dict[str, np.ndarray]:
+        """Read one catalog event: {data_type: (H, W, T) array}.
 
-    def _lght_to_grid(self, data, t_slice=slice(0, None)):
-        """Rasterize an Nx5 lightning-strike matrix to per-frame pixel counts
-        (ref :391-431)."""
-        out_size = (
-            (*self.data_shape["lght"], len(self.lght_frame_times))
-            if t_slice.stop is None else (*self.data_shape["lght"], 1)
-        )
-        if data.shape[0] == 0:
-            return np.zeros((1,) + out_size, dtype=np.float32)
-        x, y = data[:, 3], data[:, 4]
-        m = np.logical_and.reduce(
-            [x >= 0, x < out_size[0], y >= 0, y < out_size[1]]
-        )
-        data = data[m, :]
-        if data.shape[0] == 0:
-            return np.zeros((1,) + out_size, dtype=np.float32)
-        t = data[:, 0]
-        if t_slice.stop is not None:
-            if t_slice.stop > 0:
-                if t_slice.stop < len(self.lght_frame_times):
-                    tm = np.logical_and(
-                        t >= self.lght_frame_times[t_slice.stop - 1],
-                        t < self.lght_frame_times[t_slice.stop],
-                    )
-                else:
-                    tm = t >= self.lght_frame_times[-1]
-            else:
-                tm = np.logical_and(
-                    t >= self.lght_frame_times[0], t < self.lght_frame_times[1]
+        Raster types are a single-index read from the per-type HDF5 dataset;
+        lightning is rasterized from its sparse strike table (behavior pinned
+        by tests/test_datasets.py golden tests; ref sevir_dataloader.py:360-431).
+        """
+        out = {}
+        for typ in self.data_types:
+            h5 = self._hdf_files[row[f"{typ}_filename"]]
+            key = row[f"{typ}_index"]
+            if typ == "lght":
+                out[typ] = rasterize_lightning(
+                    h5[key][:], self.data_shape["lght"], self.lght_frame_times
                 )
-            data = data[tm, :]
-            z = np.zeros(data.shape[0], dtype=np.int64)
-        else:
-            z = np.digitize(t, self.lght_frame_times) - 1
-            z[z == -1] = 0
-        x = data[:, 3].astype(np.int64)
-        y = data[:, 4].astype(np.int64)
-        k = np.ravel_multi_index(np.array([y, x, z]), out_size)
-        n = np.bincount(k, minlength=int(np.prod(out_size)))
-        return np.reshape(n, out_size).astype(np.int16)[np.newaxis, :]
+            else:
+                out[typ] = h5[typ][key]
+        return out
 
     def _load_event_batch(self, event_idx: int, event_batch_size: int):
-        """Load a contiguous range of events; indices past the shard end are
-        padded with zeros (ref :541-607)."""
-        event_idx_slice_end = event_idx + event_batch_size
-        pad_size = 0
-        if event_idx_slice_end > self.end_event_idx:
-            pad_size = event_idx_slice_end - self.end_event_idx
-            event_idx_slice_end = self.end_event_idx
-        pd_batch = self._samples.iloc[event_idx:event_idx_slice_end]
-        data = {}
-        for index, row in pd_batch.iterrows():
-            data = self._read_data(row, data)
-        if pad_size > 0:
-            event_batch = []
-            for t in self.data_types:
-                pad_shape = (pad_size,) + tuple(data[t].shape[1:])
-                data_pad = np.concatenate(
-                    (data[t].astype(self.output_type),
-                     np.zeros(pad_shape, dtype=self.output_type)),
-                    axis=0,
+        """Stack ``event_batch_size`` consecutive events starting at
+        ``event_idx`` into one (B, H, W, T) array per data type.  Indices past
+        the shard end are zero-padded so batch shapes stay static
+        (ref :541-607)."""
+        stop = min(event_idx + event_batch_size, self.end_event_idx)
+        assert stop > event_idx, (event_idx, self.end_event_idx)
+        events = [
+            self._read_event(self._samples.iloc[i])
+            for i in range(event_idx, stop)
+        ]
+        n_pad = event_idx + event_batch_size - stop
+        batch = []
+        for typ in self.data_types:
+            arr = np.stack([ev[typ] for ev in events]).astype(self.output_type)
+            if n_pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((n_pad,) + arr.shape[1:], self.output_type)]
                 )
-                event_batch.append(data_pad)
-        else:
-            event_batch = [data[t].astype(self.output_type) for t in self.data_types]
-        return event_batch
+            batch.append(arr)
+        return batch
 
     # ------------------------------------------------------------ #
     @staticmethod
@@ -578,6 +573,31 @@ class SEVIRDataModule:
         self.end_date = datetime.datetime(*end_date) if end_date is not None else None
         self.val_ratio = val_ratio
         self._train = self._val = self._test = None
+
+    def prepare_data(self, download: bool = False):
+        """Fetch the dataset when missing (parity: prepare_data,
+        sevir_torch_wrap.py:240-251).  Opt-in: it's a multi-GB transfer."""
+        if os.path.exists(self.catalog_path):
+            return
+        if not download:
+            raise FileNotFoundError(
+                f"{self.catalog_path} not found; call prepare_data("
+                f"download=True) to fetch {self.dataset_name}, or place the "
+                f"dataset there manually"
+            )
+        from ..utils.download import download_sevir, download_sevirlr
+
+        parent = os.path.dirname(os.path.abspath(self.sevir_dir))
+        if os.path.basename(os.path.abspath(self.sevir_dir)) != self.dataset_name:
+            raise ValueError(
+                f"auto-download writes to <parent>/{self.dataset_name}; "
+                f"point sevir_dir at a path ending in '{self.dataset_name}' "
+                f"(got {self.sevir_dir})"
+            )
+        if self.dataset_name == "sevir":
+            download_sevir(parent)
+        else:
+            download_sevirlr(parent)
 
     def _make_loader(self, start, end, shuffle: bool) -> SEVIRDataLoader:
         return SEVIRDataLoader(

@@ -130,3 +130,94 @@ def test_loader_random_mode(synth_root):
         not np.allclose(batches[0]["vil"], b["vil"]) for b in batches[1:]
     )
     dl.close()
+
+
+def test_rasterize_lightning_golden():
+    """Hand-built strike table -> expected dense grid (pins the rewrite)."""
+    from prediff_tpu.datasets.sevir import rasterize_lightning
+
+    frame_times = np.array([0.0, 300.0, 600.0])  # 3 frames, 5-min edges
+    strikes = np.array([
+        # t,    _, _,  x,  y
+        [10.0,  0, 0,  2,  3],   # frame 0 at (y=3, x=2)
+        [10.0,  0, 0,  2,  3],   # same cell again -> count 2
+        [-50.0, 0, 0,  0,  0],   # before first edge -> clamped to frame 0
+        [310.0, 0, 0,  1,  0],   # frame 1
+        [900.0, 0, 0,  3,  3],   # past last edge -> clamped to last frame
+        [10.0,  0, 0, -1,  2],   # off-grid x -> dropped
+        [10.0,  0, 0,  4,  2],   # off-grid x -> dropped
+        [10.0,  0, 0,  2,  4],   # off-grid y -> dropped
+    ])
+    grid = rasterize_lightning(strikes, grid_hw=(4, 4), frame_times=frame_times)
+    expected = np.zeros((4, 4, 3), np.int16)
+    expected[3, 2, 0] = 2
+    expected[0, 0, 0] = 1
+    expected[0, 1, 1] = 1
+    expected[3, 3, 2] = 1
+    np.testing.assert_array_equal(grid, expected)
+
+
+def test_rasterize_lightning_empty():
+    from prediff_tpu.datasets.sevir import rasterize_lightning
+
+    grid = rasterize_lightning(np.zeros((0, 5)), grid_hw=(48, 48))
+    assert grid.shape == (48, 48, 25 * 2 - 1)
+    assert grid.sum() == 0
+
+
+def test_rasterize_lightning_reference_parity():
+    """A/B vs the reference's _lght_to_grid on random strike tables."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import reference_available, import_reference
+
+    if not reference_available():
+        pytest.skip("reference not present")
+    import_reference()
+    from prediff.datasets.sevir.sevir_dataloader import SEVIRDataLoader as RefDL
+    from prediff_tpu.datasets.sevir import (
+        rasterize_lightning, LIGHTING_FRAME_TIMES, SEVIR_DATA_SHAPE,
+    )
+
+    class _Stub:
+        data_shape = SEVIR_DATA_SHAPE
+        lght_frame_times = LIGHTING_FRAME_TIMES
+
+    rng = np.random.RandomState(11)
+    for n in (0, 1, 500):
+        strikes = np.stack([
+            rng.uniform(-9000, 9000, n),        # t seconds
+            rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+            rng.randint(-5, 53, n).astype(float),  # x incl. off-grid
+            rng.randint(-5, 53, n).astype(float),  # y incl. off-grid
+        ], axis=1) if n else np.zeros((0, 5))
+        ref = RefDL._lght_to_grid(_Stub(), strikes)
+        ours = rasterize_lightning(strikes)
+        np.testing.assert_array_equal(ours, ref[0].astype(np.int16))
+
+
+def test_fixed_angle_rotation_spec():
+    """Pins the free-angle rotation conventions to torchvision's
+    RandomRotation defaults (ref sevir_torch_wrap.py:130-134): CCW direction
+    in display coords, geometric-center pivot, nearest interpolation, 0 fill."""
+    from prediff_tpu.datasets.augmentation import fixed_angle_rotation
+
+    img = np.zeros((2, 11, 11), np.float32)  # (T, H, W)
+    img[:, 5, 9] = 1.0  # impulse right of center (dx=+4)
+
+    # +90 CCW: right-of-center -> above center; equals the rot90 fast path
+    out90 = fixed_angle_rotation(img, 90, h_axis=1, w_axis=2)
+    assert out90[0, 1, 5] == 1.0
+    np.testing.assert_array_equal(out90, np.rot90(img, 1, axes=(1, 2)))
+
+    # +45 CCW: (dx,dy)=(4,0) -> (2.83,-2.83) -> nearest (3,-3)
+    out45 = fixed_angle_rotation(img, 45, h_axis=1, w_axis=2)
+    assert out45[0, 2, 8] == 1.0
+    # nearest interpolation only ever samples original values (+ fill 0)
+    assert set(np.unique(out45)).issubset({0.0, 1.0})
+
+    # -45 is the mirror
+    outm45 = fixed_angle_rotation(img, -45, h_axis=1, w_axis=2)
+    assert outm45[0, 8, 8] == 1.0
