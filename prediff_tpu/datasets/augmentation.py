@@ -16,15 +16,22 @@ except ImportError:  # pragma: no cover
     _scipy_rotate = None
 
 
-def fixed_angle_rotation(data: np.ndarray, angle: float, h_axis: int, w_axis: int) -> np.ndarray:
-    """Rotate by an arbitrary angle (degrees) with bilinear interpolation,
-    like torchvision rotate (zeros fill)."""
+def fixed_angle_rotation(data: np.ndarray, angle: float, h_axis: int,
+                         w_axis: int, order: int = 0) -> np.ndarray:
+    """Rotate by an arbitrary angle (degrees, counter-clockwise in display
+    coords) about the geometric image center, zeros fill.
+
+    Numerical spec (matches torchvision's RandomRotation defaults used by the
+    reference, sevir_torch_wrap.py:130-134): nearest interpolation (order=0),
+    no expand, fill=0, rotation center = geometric center; direction and
+    center conventions are pinned by tests/test_datasets.py impulse tests.
+    Pass order=1 for bilinear."""
     if angle % 90 == 0:
         k = int(angle // 90) % 4
         return np.rot90(data, k=k, axes=(h_axis, w_axis)).copy()
     assert _scipy_rotate is not None, "scipy required for free-angle rotation"
     return _scipy_rotate(data, angle, axes=(h_axis, w_axis), reshape=False,
-                         order=1, mode="constant", cval=0.0)
+                         order=order, mode="constant", cval=0.0)
 
 
 def augment_seq(data: np.ndarray, layout: str, aug_mode: str,

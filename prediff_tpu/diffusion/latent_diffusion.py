@@ -61,6 +61,7 @@ class LatentDiffusion:
         clip_denoised: bool = False,
         log_every_t: int = 100,
         alignment: Optional[KnowledgeAlignment] = None,
+        decode_chunk_size: Optional[int] = None,
     ):
         assert parameterization in ("eps", "x0")
         self.unet_apply = unet_apply
@@ -94,6 +95,7 @@ class LatentDiffusion:
         self.clip_denoised = clip_denoised
         self.log_every_t = log_every_t
         self.alignment = alignment
+        self.decode_chunk_size = decode_chunk_size
         self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------ #
@@ -121,9 +123,29 @@ class LatentDiffusion:
         return self._unframes(self.scale_factor * z, B)
 
     def decode_first_stage(self, vae_params, z: jnp.ndarray) -> jnp.ndarray:
-        """Latent seq (B,T,h,w,c) -> pixel seq (B,T,H,W,C)."""
+        """Latent seq (B,T,h,w,c) -> pixel seq (B,T,H,W,C).
+
+        When ``decode_chunk_size`` is set, frames are decoded
+        ``decode_chunk_size`` at a time under ``lax.map`` — the TPU-native
+        equivalent of the reference's ``use_slicing`` sliced decode
+        (taming/autoencoder_kl.py:91-113): peak decoder activation memory is
+        bounded by the chunk, while staying inside one compiled graph."""
         frames, B = self._frames(z / self.scale_factor)
-        dec = self.vae_apply_decode({"params": vae_params}, frames)
+        chunk = self.decode_chunk_size
+        n_frames = frames.shape[0]
+        if chunk and n_frames > chunk:
+            n_pad = -n_frames % chunk
+            padded = jnp.concatenate(
+                [frames, jnp.zeros((n_pad,) + frames.shape[1:], frames.dtype)]
+            ) if n_pad else frames
+            chunks = padded.reshape((-1, chunk) + frames.shape[1:])
+            dec = jax.lax.map(
+                lambda f: self.vae_apply_decode({"params": vae_params}, f),
+                chunks,
+            )
+            dec = dec.reshape((-1,) + dec.shape[2:])[:n_frames]
+        else:
+            dec = self.vae_apply_decode({"params": vae_params}, frames)
         return self._unframes(dec, B)
 
     def cond_stage_forward(self, vae_params, y: jnp.ndarray) -> jnp.ndarray:

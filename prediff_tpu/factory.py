@@ -208,6 +208,7 @@ def build_pipeline(
         clip_denoised=d.clip_denoised,
         log_every_t=d.log_every_t,
         alignment=alignment,
+        decode_chunk_size=d.get("decode_chunk_size"),
     )
     params = {"unet": unet_params, "vae": vae_params}
     if align_params is not None:

@@ -19,15 +19,31 @@ from flax import linen as nn
 
 
 class ActNorm2D(nn.Module):
-    """Affine per-channel norm (ActNorm without data-dependent init; the
-    reference initializes from the first batch — ref model.py:15-97)."""
+    """Affine per-channel norm with data-dependent init (ref model.py:15-97).
+
+    The torch version initializes loc/scale lazily from the first training
+    batch; the JAX-native equivalent is initializer closures over the input —
+    ``module.init(rng, first_batch)`` reproduces the reference exactly
+    (loc = -mean, scale = 1/(std+1e-6), per channel over B,H,W with the
+    unbiased std the reference's .std(1) uses).  A constant (e.g. all-zeros
+    shape-only) init batch has std 0 and falls back to scale=1 — the identity
+    the torch module computes before its first real batch."""
 
     num_features: int
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
-        loc = self.param("loc", nn.initializers.zeros, (1, 1, 1, self.num_features))
-        scale = self.param("scale", nn.initializers.ones, (1, 1, 1, self.num_features))
+        shape = (1, 1, 1, self.num_features)
+
+        def loc_init(_key, s):
+            return -jnp.mean(x, axis=(0, 1, 2)).reshape(s)
+
+        def scale_init(_key, s):
+            std = jnp.std(x, axis=(0, 1, 2), ddof=1)
+            return jnp.where(std > 0, 1.0 / (std + 1e-6), 1.0).reshape(s)
+
+        loc = self.param("loc", loc_init, shape)
+        scale = self.param("scale", scale_init, shape)
         return scale * (x + loc)
 
 

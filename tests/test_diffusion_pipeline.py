@@ -170,3 +170,24 @@ def test_mask_inpainting(pipeline):
     # whose mean is sqrt(ac_0) * x0 ~ x0; just check it tracked x0 closely
     corr = np.corrcoef(np.asarray(z).ravel(), np.asarray(x0_lat).ravel())[0, 1]
     assert corr > 0.99
+
+
+def test_decode_chunked_equals_unchunked(pipeline):
+    """decode_chunk_size (the reference's use_slicing equivalent,
+    autoencoder_kl.py:91-113) must not change the output."""
+    ld, _, vae_params, _ = pipeline
+    z = jnp.asarray(
+        np.random.RandomState(9).randn(2, 3, LAT, LAT, LAT_C).astype(np.float32)
+    )
+    full = ld.decode_first_stage(vae_params, z)
+    prev = ld.decode_chunk_size
+    try:
+        for chunk in (1, 2, 4):  # 6 frames: divides, divides, needs padding
+            ld.decode_chunk_size = chunk
+            got = ld.decode_first_stage(vae_params, z)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(full), rtol=2e-5, atol=2e-5,
+            )
+    finally:
+        ld.decode_chunk_size = prev
+    assert full.shape == (2, 3, IMG, IMG, 1)

@@ -213,3 +213,30 @@ def test_discriminator_parity_vs_reference():
     np.testing.assert_allclose(
         np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-4
     )
+
+
+def test_actnorm_data_dependent_init():
+    """ActNorm init from a real batch matches the reference's lazy first-batch
+    initialization (taming/losses/model.py:27-46): loc=-mean, scale=1/(std+eps),
+    so the first forward output is standardized per channel."""
+    import jax
+    import jax.numpy as jnp
+    from prediff_tpu.training.losses import ActNorm2D
+
+    x = jnp.asarray(np.random.RandomState(4).rand(4, 8, 8, 3).astype(np.float32) * 5 + 2)
+    m = ActNorm2D(num_features=3)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    mean = np.asarray(x).transpose(3, 0, 1, 2).reshape(3, -1).mean(1)
+    std = np.asarray(x).transpose(3, 0, 1, 2).reshape(3, -1).std(1, ddof=1)
+    np.testing.assert_allclose(np.asarray(params["loc"]).ravel(), -mean, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["scale"]).ravel(), 1.0 / (std + 1e-6), rtol=1e-5
+    )
+    out = m.apply({"params": params}, x)
+    flat = np.asarray(out).transpose(3, 0, 1, 2).reshape(3, -1)
+    np.testing.assert_allclose(flat.mean(1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(flat.std(1, ddof=1), 1.0, atol=1e-4)
+    # constant init batch degrades to identity (scale=1), not a 1e6 blow-up
+    z = jnp.zeros((2, 4, 4, 3))
+    pz = m.init(jax.random.PRNGKey(0), z)["params"]
+    np.testing.assert_allclose(np.asarray(pz["scale"]).ravel(), 1.0)

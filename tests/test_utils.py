@@ -37,3 +37,43 @@ def test_layout_to_in_out_slice():
     np.testing.assert_array_equal(
         np.concatenate([x[in_slice], x[out_slice]], axis=1), x
     )
+
+
+def test_sevir_download_offline_paths(tmp_path):
+    """Download helpers must fail with actionable instructions offline and
+    construct the published mirror URLs (ref sevir_torch_wrap.py:30-70)."""
+    import subprocess
+    import pytest
+    from prediff_tpu.utils import download as dl
+
+    assert dl.SEVIRLR_ZIP_URL.endswith("sevir_lr.zip")
+    assert dl.SEVIR_S3_BUCKET == "s3://sevir"
+
+    # sevirlr: zero egress here -> urlretrieve fails -> RuntimeError w/ URL
+    with pytest.raises((RuntimeError, FileExistsError)) as ei:
+        dl.download_sevirlr(str(tmp_path / "a"))
+    if ei.type is RuntimeError:
+        assert "sevir_lr.zip" in str(ei.value)
+
+    # sevir: either no aws CLI (RuntimeError w/ manual commands) or cp fails
+    with pytest.raises(RuntimeError):
+        dl.download_sevir(str(tmp_path / "b"))
+
+    # existing target dir is refused
+    (tmp_path / "c" / "sevirlr").mkdir(parents=True)
+    with pytest.raises(FileExistsError):
+        dl.download_sevirlr(str(tmp_path / "c"))
+
+
+def test_datamodule_prepare_data_offline(tmp_path):
+    import pytest
+    from prediff_tpu.datasets import SEVIRDataModule
+
+    dm = SEVIRDataModule(sevir_dir=str(tmp_path / "sevirlr"))
+    with pytest.raises(FileNotFoundError):
+        dm.prepare_data(download=False)
+    with pytest.raises((RuntimeError, ValueError)):
+        dm.prepare_data(download=True)
+    dm2 = SEVIRDataModule(sevir_dir=str(tmp_path / "somewhere_else"))
+    with pytest.raises(ValueError):
+        dm2.prepare_data(download=True)
