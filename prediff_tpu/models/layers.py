@@ -227,6 +227,66 @@ class TimeEmbedLayer(nn.Module):
         return x
 
 
+# Default lowering for 3x3x3 convs (the UNet's FLOPs hot spot).  "t2d"
+# decomposes the temporal axis into 3 accumulated 2-D convs with T folded
+# into batch; on v5e at B=1 XLA's native 3-D conv picks a transposed
+# T(1,128) output layout at the 8x8x512 stage and runs ~3.7x slower than
+# its own 2-D conv path (probe15/probe18-19).  Both paths are numerically
+# the same conv; set to "xla" to use lax's native 3-D lowering.
+DEFAULT_CONV3D_IMPL = "t2d"
+
+
+class Conv3x3x3(nn.Module):
+    """3x3x3 stride-1 SAME 3-D convolution with a selectable lowering.
+
+    Parameter tree ("kernel" (3,3,3,C,OC), "bias" (OC,)) is identical to
+    ``nn.Conv(features, kernel_size=(3,3,3), padding=1)`` so checkpoint
+    conversion and module naming are unaffected.
+    """
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H, W, C = x.shape
+        kernel = self.param("kernel", self.kernel_init, (3, 3, 3, C, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        # same dtype promotion as flax nn.Conv
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+        impl = self.impl or DEFAULT_CONV3D_IMPL
+        if impl == "xla":
+            out = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 1, 1),
+                padding=((1, 1), (1, 1), (1, 1)),
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    x.shape, kernel.shape, ("NTHWC", "THWIO", "NTHWC")
+                ),
+            )
+        elif impl == "t2d":
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            out = None
+            for dt in range(3):
+                xt = xp[:, dt:dt + T].reshape(B * T, H, W, C)
+                o = jax.lax.conv_general_dilated(
+                    xt, kernel[dt], window_strides=(1, 1),
+                    padding=((1, 1), (1, 1)),
+                    dimension_numbers=jax.lax.conv_dimension_numbers(
+                        xt.shape, kernel[dt].shape, ("NHWC", "HWIO", "NHWC")
+                    ),
+                )
+                out = o if out is None else out + o
+            out = out.reshape(B, T, H, W, self.features)
+        else:
+            raise ValueError(f"unknown conv3d impl '{impl}'")
+        return out + bias
+
+
 class TimeEmbedResBlock(nn.Module):
     """FiLM-style residual block injecting the diffusion timestep embedding.
 
@@ -258,13 +318,13 @@ class TimeEmbedResBlock(nn.Module):
 
         h = nn.GroupNorm(num_groups=in_groups, epsilon=1e-5, name="in_layers_0")(x)
         h = jax.nn.silu(h)
-        h = nn.Conv(out_channels, kernel_size=(3, 3, 3), padding=1, name="in_layers_2",
-                    kernel_init=conv_init("0"))(h)
+        h = Conv3x3x3(out_channels, name="in_layers_2",
+                      kernel_init=conv_init("0"))(h)
 
         out_norm = nn.GroupNorm(num_groups=out_groups, epsilon=1e-5, name="out_layers_0")
-        out_conv = nn.Conv(out_channels, kernel_size=(3, 3, 3), padding=1,
-                           name="out_layers_3", kernel_init=nn.initializers.zeros,
-                           bias_init=nn.initializers.zeros)
+        out_conv = Conv3x3x3(out_channels, name="out_layers_3",
+                             kernel_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros)
         drop = nn.Dropout(self.dropout)
 
         if self.use_embed:
@@ -295,8 +355,8 @@ class TimeEmbedResBlock(nn.Module):
         if out_channels == self.channels:
             skip = x
         elif self.use_conv:
-            skip = nn.Conv(out_channels, kernel_size=(3, 3, 3), padding=1,
-                           name="skip_connection", kernel_init=conv_init("0"))(x)
+            skip = Conv3x3x3(out_channels, name="skip_connection",
+                             kernel_init=conv_init("0"))(x)
         else:
             skip = nn.Conv(out_channels, kernel_size=(1, 1, 1), name="skip_connection",
                            kernel_init=conv_init("0"))(x)
