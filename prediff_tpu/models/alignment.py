@@ -184,7 +184,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
         t_emb = TimeEmbedLayer(
             time_embed_channels=block_units[0] * self.time_embed_channels_mult,
             name="time_embed",
-        )(timestep_embedding(t, block_units[0]))
+        )(timestep_embedding(t, block_units[0]).astype(x.dtype))
 
         for i in range(self.num_blocks):
             if i > 0:

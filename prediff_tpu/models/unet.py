@@ -222,7 +222,7 @@ class CuboidTransformerUNet(nn.Module):
         t_emb = TimeEmbedLayer(
             time_embed_channels=block_units[0] * self.time_embed_channels_mult,
             name="time_embed",
-        )(timestep_embedding(t, block_units[0]))
+        )(timestep_embedding(t, block_units[0]).astype(x.dtype))
 
         def make_stack_block(i, prefix, j):
             return StackCuboidSelfAttentionBlock(
