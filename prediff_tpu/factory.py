@@ -16,6 +16,14 @@ from .diffusion.latent_diffusion import LatentDiffusion
 from .diffusion.knowledge_alignment import KnowledgeAlignment
 
 
+def _resolve_auto(flag) -> bool:
+    """'auto' -> use the fused Pallas path on real TPUs only (CPU interpret
+    mode is for correctness tests, not speed)."""
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
 def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
     """cfg = full config; uses cfg.model.latent_model (ref :91-139)."""
     m = cfg.model.latent_model
@@ -51,6 +59,7 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         pos_embed_type=m.pos_embed_type,
         use_relative_pos=m.use_relative_pos,
         use_pallas_attention=m.get("use_pallas_attention", False),
+        use_pallas_ffn=_resolve_auto(m.get("use_pallas_ffn", "auto")),
         self_attn_use_final_proj=m.self_attn_use_final_proj,
         attn_linear_init_mode=m.get("attn_linear_init_mode", "0"),
         ffn_linear_init_mode=m.get("ffn_linear_init_mode", "0"),

@@ -30,7 +30,7 @@ from ..ops.cuboid import (
 )
 from ..ops.pad import generalize_padding, generalize_unpadding
 from .init import linear_init, trunc_normal
-from .layers import PositionwiseFFN
+from .layers import PositionwiseFFN, _ParamHolder
 
 
 @functools.lru_cache(maxsize=None)
@@ -53,18 +53,6 @@ def compute_relative_position_index(cuboid_size: Tuple[int, int, int]) -> np.nda
     rel[:, :, 0] *= (2 * cuboid_size[1] - 1) * (2 * cuboid_size[2] - 1)
     rel[:, :, 1] *= 2 * cuboid_size[2] - 1
     return rel.sum(-1)
-
-
-class _ParamHolder(nn.Module):
-    """Creates params under this module's name without running the op —
-    lets fused kernels consume raw weights while keeping the exact param tree
-    of the standard nn.Dense / nn.LayerNorm children."""
-
-    leaves: Tuple  # ((leaf_name, shape, init), ...)
-
-    @nn.compact
-    def __call__(self):
-        return tuple(self.param(n, init, shape) for n, shape, init in self.leaves)
 
 
 class CuboidSelfAttentionLayer(nn.Module):
@@ -433,6 +421,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
     global_dim_ratio: int = 1
     use_relative_pos: bool = True
     use_pallas_attention: bool = False
+    use_pallas_ffn: bool = False
     use_final_proj: bool = True
     checkpoint_level: int = 0
     attn_linear_init_mode: str = "0"
@@ -455,6 +444,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
                 gated_proj=self.gated_ffn,
                 activation=self.activation,
                 pre_norm=True,
+                use_pallas=self.use_pallas_ffn,
                 linear_init_mode=self.ffn_linear_init_mode,
                 ffn2_linear_init_mode=self.ffn2_linear_init_mode,
                 name=f"ffn_l_{i}",

@@ -100,6 +100,18 @@ class PosEmbed(nn.Module):
             return x + t_emb.reshape(T, 1, 1, self.embed_dim) + hw_emb
 
 
+class _ParamHolder(nn.Module):
+    """Creates params under this module's name without running the op —
+    lets fused kernels consume raw weights while keeping the exact param tree
+    of the standard nn.Dense / nn.LayerNorm children."""
+
+    leaves: Tuple  # ((leaf_name, shape, init), ...)
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(n, init, shape) for n, shape, init in self.leaves)
+
+
 class PositionwiseFFN(nn.Module):
     """Transformer FFN with optional gating and pre/post LayerNorm."""
 
@@ -112,11 +124,54 @@ class PositionwiseFFN(nn.Module):
     normalization: str = "layer_norm"
     layer_norm_eps: float = 1e-5
     pre_norm: bool = False
+    use_pallas: bool = False
     linear_init_mode: str = "0"
     ffn2_linear_init_mode: str = "2"
 
+    def _try_fused(self, data: jnp.ndarray, deterministic: bool):
+        """Whole-FFN Pallas kernel (LN+ffn_1+act+ffn_2+residual in one op) for
+        the deterministic pre-norm non-gated case; returns None to fall back.
+        Inference-only: the kernel defines no VJP (training uses the XLA path,
+        where the op sequence is autodiff-friendly and remat-scheduled)."""
+        from ..ops import pallas_ffn
+
+        if not (self.use_pallas and self.pre_norm and not self.gated_proj):
+            return None
+        if not deterministic:  # train path: XLA ops (autodiff + dropout + remat)
+            return None
+        if self.activation not in pallas_ffn.SUPPORTED_ACTIVATIONS:
+            return None
+        C = data.shape[-1]
+        tokens = int(np.prod(data.shape[:-1]))
+        if C != self.units or not pallas_ffn.supports_shape(tokens, C, self.hidden_size):
+            return None
+        (ln_scale, ln_bias) = _ParamHolder(
+            leaves=(("scale", (C,), nn.initializers.ones),
+                    ("bias", (C,), nn.initializers.zeros)),
+            name="layer_norm",
+        )()
+        (w1, b1) = _ParamHolder(
+            leaves=(("kernel", (C, self.hidden_size), linear_init(self.linear_init_mode)),
+                    ("bias", (self.hidden_size,), nn.initializers.zeros)),
+            name="ffn_1",
+        )()
+        (w2, b2) = _ParamHolder(
+            leaves=(("kernel", (self.hidden_size, C), linear_init(self.ffn2_linear_init_mode)),
+                    ("bias", (C,), nn.initializers.zeros)),
+            name="ffn_2",
+        )()
+        out = pallas_ffn.fused_ffn(
+            data.reshape(tokens, C), ln_scale, ln_bias, w1, b1, w2, b2,
+            eps=self.layer_norm_eps, activation=self.activation,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out.reshape(data.shape)
+
     @nn.compact
     def __call__(self, data: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        fused = self._try_fused(data, deterministic)
+        if fused is not None:
+            return fused
         act = get_activation(self.activation)
         residual = data
         norm = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layer_norm")

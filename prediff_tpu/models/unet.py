@@ -117,6 +117,7 @@ class CuboidTransformerUNet(nn.Module):
     checkpoint_level: int = 0
     use_relative_pos: bool = True
     use_pallas_attention: bool = False
+    use_pallas_ffn: bool = False
     self_attn_use_final_proj: bool = True
     num_global_vectors: int = 0
     use_global_vector_ffn: bool = True
@@ -246,6 +247,7 @@ class CuboidTransformerUNet(nn.Module):
                 checkpoint_level=self.checkpoint_level,
                 use_relative_pos=self.use_relative_pos,
                 use_pallas_attention=self.use_pallas_attention,
+                use_pallas_ffn=self.use_pallas_ffn,
                 use_final_proj=self.self_attn_use_final_proj,
                 attn_linear_init_mode=self.attn_linear_init_mode,
                 ffn_linear_init_mode=self.ffn_linear_init_mode,
