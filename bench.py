@@ -29,21 +29,24 @@ def main():
     n_steps = 100  # measure a 100-step scanned chain, report per-step rate
 
     def run(seed):
-        return ld.sample(
+        out = ld.sample(
             params["unet"], params["vae"], jax.random.PRNGKey(seed), y,
             timesteps=n_steps, return_decoded=True,
         )
+        # Device-side reduction, then fetch the 4-byte scalar: still forces
+        # the whole pipeline to execute (the sum depends on every output
+        # element; async relays can make block_until_ready unreliable), but
+        # doesn't charge the benchmark for shipping the full video through
+        # the host tunnel (~30-40 ms at relay bandwidth).
+        return jnp.sum(out)
 
-    # compile + warmup (force host materialization — async relays can make
-    # block_until_ready unreliable; fetching bytes to host cannot lie)
-    out = run(0)
-    _ = float(np.asarray(out).sum())
+    out = run(0)  # compile + warmup
+    _ = float(np.asarray(out))
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(i + 1)
-        _ = float(np.asarray(out).sum())
+        _ = float(np.asarray(run(i + 1)))
     dt = (time.perf_counter() - t0) / iters
 
     steps_per_sec = n_steps / dt

@@ -27,7 +27,7 @@ out = fwd(params["unet"], z, t_b, zc)
 print("warm", float(np.asarray(out).sum()), flush=True)
 
 NITER = 20
-trace_dir = "/tmp/jax-trace-fwd2"
+trace_dir = "/tmp/jax-trace-fwd3"
 os.system(f"rm -rf {trace_dir}")
 jax.profiler.start_trace(trace_dir)
 for i in range(NITER):
