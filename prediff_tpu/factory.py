@@ -24,6 +24,16 @@ def _resolve_auto(flag) -> bool:
     return bool(flag)
 
 
+def _resolve_auto_attn(flag):
+    """'auto' -> the v4 whole-layer attention kernel on real TPUs (eligible
+    layers only; others fall back to einsum).  NOTE: never auto-enable for
+    the alignment network — guidance takes jax.grad through it and the
+    kernels define no VJP."""
+    if flag == "auto":
+        return "layer" if jax.default_backend() == "tpu" else False
+    return flag
+
+
 def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
     """cfg = full config; uses cfg.model.latent_model (ref :91-139)."""
     m = cfg.model.latent_model
@@ -58,7 +68,7 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         checkpoint_level=m.checkpoint_level,
         pos_embed_type=m.pos_embed_type,
         use_relative_pos=m.use_relative_pos,
-        use_pallas_attention=m.get("use_pallas_attention", False),
+        use_pallas_attention=_resolve_auto_attn(m.get("use_pallas_attention", "auto")),
         use_pallas_ffn=_resolve_auto(m.get("use_pallas_ffn", "auto")),
         self_attn_use_final_proj=m.self_attn_use_final_proj,
         attn_linear_init_mode=m.get("attn_linear_init_mode", "0"),

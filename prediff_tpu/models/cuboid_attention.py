@@ -105,7 +105,7 @@ class CuboidSelfAttentionLayer(nn.Module):
         to fall back."""
         if self.use_global_vector or self.qkv_bias or not self.use_final_proj:
             return None
-        if not deterministic and (self.attn_drop > 0 or self.proj_drop > 0):
+        if not deterministic:  # train path: XLA ops (autodiff + dropout + remat)
             return None
         B, T, H, W, C = x.shape
         cuboid_size, shift_size = update_cuboid_size_shift_size(
@@ -122,9 +122,15 @@ class CuboidSelfAttentionLayer(nn.Module):
         ) is not None:
             return None
 
-        from ..ops.pallas_attention import fused_cuboid_attention_layer
+        from ..ops.pallas_attention import (
+            fused_cuboid_attention_layer_v4,
+            pick_cuboid_group,
+        )
 
         vol = cuboid_size[0] * cuboid_size[1] * cuboid_size[2]
+        num_cuboids = (T // cuboid_size[0]) * (H // cuboid_size[1]) * (W // cuboid_size[2])
+        if self.dim % 128 != 0 or pick_cuboid_group(num_cuboids, vol) is None:
+            return None
         (ln_scale, ln_bias) = _ParamHolder(
             leaves=(("scale", (C,), nn.initializers.ones),
                     ("bias", (C,), nn.initializers.zeros)),
@@ -145,7 +151,7 @@ class CuboidSelfAttentionLayer(nn.Module):
             bias = jnp.zeros((self.num_heads, vol, vol), x.dtype)
         scale = self.qk_scale or (C // self.num_heads) ** -0.5
         reordered = cuboid_reorder(x, cuboid_size=cuboid_size, strategy=self.strategy)
-        out = fused_cuboid_attention_layer(
+        out = fused_cuboid_attention_layer_v4(
             reordered, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
             num_heads=self.num_heads, scale=scale,
             interpret=jax.default_backend() != "tpu",
@@ -215,7 +221,7 @@ class CuboidSelfAttentionLayer(nn.Module):
         if (
             self.use_pallas_attention
             and not self.use_global_vector
-            and (deterministic or self.attn_drop == 0.0)
+            and deterministic  # train path: XLA ops (autodiff + dropout)
         ):
             # fused Pallas path: groups of cuboids batched per grid cell so the
             # tiny per-cuboid matmuls fill the MXU

@@ -290,6 +290,142 @@ def fused_cuboid_attention_layer(
     )(x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj)
 
 
+def _fused_layer_kernel_v4(
+    x_ref,         # (1, G, vol, C)
+    ln_scale_ref,  # (1, C)
+    ln_bias_ref,   # (1, C)
+    wqkv_ref,      # (C, 3C)
+    biasmask_ref,  # (heads, R, R): rel-pos bias on the block diagonal,
+                   # NEG_INF elsewhere (R = G*vol)
+    wproj_ref,     # (C, C)
+    bproj_ref,     # (1, C)
+    o_ref,         # (1, G, vol, C)
+    *, num_heads, scale, eps, mxu_dtype,
+):
+    G, vol, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    R = G * vol
+    hc = C // num_heads
+    x = x_ref[0].reshape(R, C).astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale_ref[0].astype(jnp.float32) + ln_bias_ref[0].astype(jnp.float32)
+    qkv = jax.lax.dot(
+        ln.astype(mxu_dtype), wqkv_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    )  # (R, 3C)
+    heads_out = []
+    for h in range(num_heads):
+        q = qkv[:, h * hc:(h + 1) * hc] * scale
+        k = qkv[:, C + h * hc:C + (h + 1) * hc]
+        v = qkv[:, 2 * C + h * hc:2 * C + (h + 1) * hc]
+        # ONE dense (R, R) matmul across all G cuboids; cross-cuboid entries
+        # are killed by the NEG_INF block off-diagonal of biasmask.  At
+        # R<=256 the (G x)-wasted FLOPs are trivial next to the MXU's
+        # batched-tiny-matmul latency this avoids.
+        s = jax.lax.dot_general(
+            q.astype(mxu_dtype), k.astype(mxu_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + biasmask_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        heads_out.append(jax.lax.dot(
+            p.astype(mxu_dtype), v.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        ))  # (R, hc)
+    attn = jnp.concatenate(heads_out, axis=-1)  # (R, C)
+    out = jax.lax.dot(
+        attn.astype(mxu_dtype), wproj_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0].astype(jnp.float32)
+    o_ref[0] = out.reshape(G, vol, C).astype(o_ref.dtype)
+
+
+def pick_cuboid_group(nC: int, vol: int, max_rows: int = 256) -> Optional[int]:
+    """Largest G dividing nC with G*vol <= max_rows and G*vol % 8 == 0."""
+    best = None
+    for g in range(1, nC + 1):
+        if nC % g:
+            continue
+        r = g * vol
+        if r > max_rows:
+            break
+        if r % 8 == 0:
+            best = g
+    return best
+
+
+def build_blockdiag_biasmask(bias: jnp.ndarray, G: int) -> jnp.ndarray:
+    """(heads, vol, vol) rel-pos bias -> (heads, G*vol, G*vol) with the bias
+    tiled on the block diagonal and NEG_INF elsewhere.  Pure function of the
+    bias param, so XLA hoists it out of sampling scans."""
+    H, vol, _ = bias.shape
+    R = G * vol
+    eye = np.kron(np.eye(G, dtype=bool), np.ones((vol, vol), dtype=bool))
+    tiled = jnp.tile(bias, (1, G, G))
+    return jnp.where(jnp.asarray(eye)[None], tiled, NEG_INF).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "mxu_dtype_name",
+                              "interpret")
+)
+def fused_cuboid_attention_layer_v4(
+    x: jnp.ndarray,          # (B, nC, vol, C) reordered cuboids
+    ln_scale: jnp.ndarray,   # (C,)
+    ln_bias: jnp.ndarray,    # (C,)
+    w_qkv: jnp.ndarray,      # (C, 3C)
+    bias: jnp.ndarray,       # (heads, vol, vol) relative-position bias
+    w_proj: jnp.ndarray,     # (C, C)
+    b_proj: jnp.ndarray,     # (C,)
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    mxu_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """v4 whole attention layer: LN + one wide QKV dot + per-head DENSE
+    (R, R) attention over G concatenated cuboids (block-diagonal bias/mask)
+    + out-proj, one kernel.  Fixes v3's two losses: 12 narrow per-head
+    QKV dots -> 1 wide dot, and G-batched tiny score matmuls -> one dense
+    MXU matmul per head.  No-mask configurations only (v1 axial)."""
+    B, nC, vol, C = x.shape
+    G = pick_cuboid_group(nC, vol)
+    assert G is not None, "caller must gate with pick_cuboid_group()"
+    biasmask = build_blockdiag_biasmask(bias, G)
+    grid = (B, nC // G)
+    kernel = functools.partial(
+        _fused_layer_kernel_v4, num_heads=num_heads, scale=scale, eps=eps,
+        mxu_dtype=jnp.dtype(mxu_dtype_name),
+    )
+    R = G * vol
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((C, 3 * C), lambda b, n: (0, 0)),
+            pl.BlockSpec((num_heads, R, R), lambda b, n: (0, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nC * vol * C * 4 * C
+            + 2 * 2 * B * (nC // G) * num_heads * R * R * (C // num_heads),
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (w_qkv.size + w_proj.size + biasmask.size) * 4,
+            transcendentals=B * (nC // G) * num_heads * R * R,
+        ),
+        interpret=interpret,
+    )(x, row(ln_scale), row(ln_bias), w_qkv, biasmask, w_proj, row(b_proj))
+
+
 def cuboid_attention_reference(q, k, v, bias, mask=None, scale=1.0):
     """einsum reference with identical semantics (for tests/benches)."""
     s = jnp.einsum("bnhic,bnhjc->bnhij", q * scale, k) + bias[None, None]

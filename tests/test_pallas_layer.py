@@ -48,6 +48,72 @@ def test_fused_layer_matches_reference(B, nC, vol, C, heads, G):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("B,nC,vol,C,heads", [
+    (1, 16, 13, 128, 4),   # axial-T-like, G=16 -> R=208
+    (1, 13, 16, 128, 4),   # nC=13 prime, G=13 -> R=208
+    (2, 8, 16, 256, 4),    # G=8 -> R=128
+])
+def test_fused_layer_v4_matches_reference(B, nC, vol, C, heads):
+    from prediff_tpu.ops.pallas_attention import fused_cuboid_attention_layer_v4
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, nC, vol, C).astype(np.float32))
+    ln_scale = jnp.asarray(rng.randn(C).astype(np.float32))
+    ln_bias = jnp.asarray(rng.randn(C).astype(np.float32))
+    w_qkv = jnp.asarray((rng.randn(C, 3 * C) * 0.05).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, vol, vol).astype(np.float32))
+    w_proj = jnp.asarray((rng.randn(C, C) * 0.05).astype(np.float32))
+    b_proj = jnp.asarray(rng.randn(C).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    got = fused_cuboid_attention_layer_v4(
+        x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+        num_heads=heads, scale=scale, mxu_dtype_name="float32", interpret=True,
+    )
+    expected = reference_layer(x, ln_scale, ln_bias, w_qkv, bias, w_proj,
+                               b_proj, heads, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_pick_cuboid_group_and_biasmask():
+    from prediff_tpu.ops.pallas_attention import (
+        pick_cuboid_group, build_blockdiag_biasmask, NEG_INF,
+    )
+
+    assert pick_cuboid_group(256, 13) == 16   # R=208
+    assert pick_cuboid_group(208, 16) == 16   # R=256
+    assert pick_cuboid_group(104, 8) == 26    # R=208 (26 divides 104)
+    assert pick_cuboid_group(7, 3) is None    # 21 rows: no 8-aligned option
+
+    bias = jnp.asarray(np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3))
+    m = np.asarray(build_blockdiag_biasmask(bias, G=2))
+    assert m.shape == (2, 6, 6)
+    np.testing.assert_array_equal(m[:, :3, :3], np.asarray(bias))
+    np.testing.assert_array_equal(m[:, 3:, 3:], np.asarray(bias))
+    assert (m[:, :3, 3:] == NEG_INF).all() and (m[:, 3:, :3] == NEG_INF).all()
+
+
+def test_layer_mode_v4_matches_einsum_path_dim128():
+    """use_pallas_attention='layer' routes through v4 on an eligible config
+    (C=128, no shift) and matches the einsum path with shared params."""
+    from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
+
+    kw = dict(dim=128, num_heads=4, cuboid_size=(4, 1, 1), shift_size=(0, 0, 0),
+              strategy=("l", "l", "l"), padding_type="zeros",
+              attn_drop=0.0, proj_drop=0.0)
+    base = CuboidSelfAttentionLayer(**kw)
+    fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 4, 8, 8, 128).astype(np.float32))
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    out_base = base.apply({"params": params}, x)
+    out_fused = fused.apply({"params": params}, x)
+    # v4 uses bf16 MXU operands (XLA's default f32 matmul precision on TPU)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
+                               rtol=3e-2, atol=3e-2)
+    params_fused = fused.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_fused)
+
+
 def test_layer_mode_matches_einsum_path():
     from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
 
