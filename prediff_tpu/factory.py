@@ -70,6 +70,7 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         use_relative_pos=m.use_relative_pos,
         use_pallas_attention=_resolve_auto_attn(m.get("use_pallas_attention", "auto")),
         use_pallas_ffn=_resolve_auto(m.get("use_pallas_ffn", "auto")),
+        use_pallas_gn=_resolve_auto(m.get("use_pallas_gn", "auto")),
         self_attn_use_final_proj=m.self_attn_use_final_proj,
         attn_linear_init_mode=m.get("attn_linear_init_mode", "0"),
         ffn_linear_init_mode=m.get("ffn_linear_init_mode", "0"),

@@ -359,6 +359,34 @@ class TimeEmbedResBlock(nn.Module):
     use_embed: bool = True
     use_scale_shift_norm: bool = False
     norm_groups: int = 32
+    use_pallas: bool = False
+
+    def _gn_silu(self, x: jnp.ndarray, name: str, groups: int,
+                 emb2d: Optional[jnp.ndarray], deterministic: bool) -> jnp.ndarray:
+        """silu(GroupNorm(x + emb)) — fused Pallas pair on eligible TPU
+        shapes (inference only: no VJP; the train path keeps XLA ops), else
+        the standard module path.  Identical param tree either way."""
+        from ..ops import pallas_groupnorm
+
+        B, T, H, W, C = x.shape
+        N = T * H * W
+        if (
+            self.use_pallas and deterministic
+            and pallas_groupnorm.supports_shape(N, C, groups)
+        ):
+            (scale, bias) = _ParamHolder(
+                leaves=(("scale", (C,), nn.initializers.ones),
+                        ("bias", (C,), nn.initializers.zeros)),
+                name=name,
+            )()
+            out = pallas_groupnorm.fused_groupnorm_silu(
+                x.reshape(B, N, C), scale, bias, emb=emb2d, groups=groups,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return out.reshape(x.shape)
+        h = x if emb2d is None else x + emb2d[:, None, None, None, :]
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)(h)
+        return jax.nn.silu(h)
 
     @nn.compact
     def __call__(
@@ -371,12 +399,10 @@ class TimeEmbedResBlock(nn.Module):
         in_groups = self.norm_groups if self.channels % self.norm_groups == 0 else self.channels
         out_groups = self.norm_groups if out_channels % self.norm_groups == 0 else out_channels
 
-        h = nn.GroupNorm(num_groups=in_groups, epsilon=1e-5, name="in_layers_0")(x)
-        h = jax.nn.silu(h)
+        h = self._gn_silu(x, "in_layers_0", in_groups, None, deterministic)
         h = Conv3x3x3(out_channels, name="in_layers_2",
                       kernel_init=conv_init("0"))(h)
 
-        out_norm = nn.GroupNorm(num_groups=out_groups, epsilon=1e-5, name="out_layers_0")
         out_conv = Conv3x3x3(out_channels, name="out_layers_3",
                              kernel_init=nn.initializers.zeros,
                              bias_init=nn.initializers.zeros)
@@ -388,22 +414,22 @@ class TimeEmbedResBlock(nn.Module):
                 2 * out_channels if self.use_scale_shift_norm else out_channels,
                 name="emb_layers_1", kernel_init=linear_init("0"),
             )(jax.nn.silu(emb))
-            emb_out = emb_out[:, None, None, None, :]  # broadcast over T,H,W
             if self.use_scale_shift_norm:
+                emb_out = emb_out[:, None, None, None, :]  # broadcast T,H,W
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
+                out_norm = nn.GroupNorm(num_groups=out_groups, epsilon=1e-5,
+                                        name="out_layers_0")
                 h = out_norm(h) * (1 + scale) + shift
                 h = jax.nn.silu(h)
                 h = drop(h, deterministic=deterministic)
                 h = out_conv(h)
             else:
-                h = h + emb_out
-                h = out_norm(h)
-                h = jax.nn.silu(h)
+                h = self._gn_silu(h, "out_layers_0", out_groups, emb_out,
+                                  deterministic)
                 h = drop(h, deterministic=deterministic)
                 h = out_conv(h)
         else:
-            h = out_norm(h)
-            h = jax.nn.silu(h)
+            h = self._gn_silu(h, "out_layers_0", out_groups, None, deterministic)
             h = drop(h, deterministic=deterministic)
             h = out_conv(h)
 

@@ -118,6 +118,7 @@ class CuboidTransformerUNet(nn.Module):
     use_relative_pos: bool = True
     use_pallas_attention: bool = False
     use_pallas_ffn: bool = False
+    use_pallas_gn: bool = False
     self_attn_use_final_proj: bool = True
     num_global_vectors: int = 0
     use_global_vector_ffn: bool = True
@@ -198,6 +199,7 @@ class CuboidTransformerUNet(nn.Module):
             out_channels=self.base_units,
             use_conv=False,
             use_embed=False,
+            use_pallas=self.use_pallas_gn,
             name="first_proj",
         )(x, deterministic=deterministic)
 
@@ -265,6 +267,7 @@ class CuboidTransformerUNet(nn.Module):
                 use_conv=False,
                 use_embed=True,
                 use_scale_shift_norm=self.time_embed_use_scale_shift_norm,
+                use_pallas=self.use_pallas_gn,
                 name=f"{prefix}_{i}",
             )
 
