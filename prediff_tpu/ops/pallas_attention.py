@@ -295,16 +295,34 @@ def _fused_layer_kernel_v4(
     ln_scale_ref,  # (1, C)
     ln_bias_ref,   # (1, C)
     wqkv_ref,      # (C, 3C)
-    biasmask_ref,  # (heads, R, R): rel-pos bias on the block diagonal,
+    bias_ref,      # (heads, vol, vol) relative-position bias (the param)
+    rep_ref,       # (R, vol) static 0/1 replication matrix: rep[i, i%vol]=1
+    maskadd_ref,   # (R, R) static additive mask: 0 on the block diagonal,
                    # NEG_INF elsewhere (R = G*vol)
     wproj_ref,     # (C, C)
     bproj_ref,     # (1, C)
     o_ref,         # (1, G, vol, C)
+    bm_ref,        # VMEM scratch (heads, R, R): tiled bias + mask, built once
     *, num_heads, scale, eps, mxu_dtype,
 ):
     G, vol, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     R = G * vol
     hc = C // num_heads
+
+    # Build the block-diagonal (bias + NEG_INF mask) matrices ONCE per kernel
+    # launch — scratch persists across grid cells.  (Building them outside
+    # the kernel re-tiled them on EVERY denoise step: XLA's loop-invariant
+    # code motion never hoists broadcasts.  tiled = rep @ bias_h @ rep^T ==
+    # jnp.tile(bias_h, (G, G)) via two tiny MXU matmuls.)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        rep = rep_ref[...]
+        for h in range(num_heads):
+            bm_ref[h] = jax.lax.dot(
+                jax.lax.dot(rep, bias_ref[h], preferred_element_type=jnp.float32),
+                rep.T, preferred_element_type=jnp.float32,
+            ) + maskadd_ref[...]
+
     x = x_ref[0].reshape(R, C).astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -320,13 +338,13 @@ def _fused_layer_kernel_v4(
         k = qkv[:, C + h * hc:C + (h + 1) * hc]
         v = qkv[:, 2 * C + h * hc:2 * C + (h + 1) * hc]
         # ONE dense (R, R) matmul across all G cuboids; cross-cuboid entries
-        # are killed by the NEG_INF block off-diagonal of biasmask.  At
-        # R<=256 the (G x)-wasted FLOPs are trivial next to the MXU's
+        # are killed by the NEG_INF block off-diagonal.  At R<=256 the
+        # (G x)-wasted FLOPs are trivial next to the MXU's
         # batched-tiny-matmul latency this avoids.
         s = jax.lax.dot_general(
             q.astype(mxu_dtype), k.astype(mxu_dtype),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) + biasmask_ref[h]
+        ) + bm_ref[h]
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -393,13 +411,17 @@ def fused_cuboid_attention_layer_v4(
     B, nC, vol, C = x.shape
     G = pick_cuboid_group(nC, vol)
     assert G is not None, "caller must gate with pick_cuboid_group()"
-    biasmask = build_blockdiag_biasmask(bias, G)
     grid = (B, nC // G)
     kernel = functools.partial(
         _fused_layer_kernel_v4, num_heads=num_heads, scale=scale, eps=eps,
         mxu_dtype=jnp.dtype(mxu_dtype_name),
     )
     R = G * vol
+    # static (per shape) constants: replication matrix and additive mask
+    rep_np = np.zeros((R, vol), np.float32)
+    rep_np[np.arange(R), np.arange(R) % vol] = 1.0
+    blockdiag = np.kron(np.eye(G, dtype=bool), np.ones((vol, vol), bool))
+    maskadd_np = np.where(blockdiag, 0.0, NEG_INF).astype(np.float32)
     row = lambda v: v.reshape(1, -1)  # noqa: E731
     return pl.pallas_call(
         kernel,
@@ -409,21 +431,27 @@ def fused_cuboid_attention_layer_v4(
             pl.BlockSpec((1, C), lambda b, n: (0, 0)),
             pl.BlockSpec((1, C), lambda b, n: (0, 0)),
             pl.BlockSpec((C, 3 * C), lambda b, n: (0, 0)),
-            pl.BlockSpec((num_heads, R, R), lambda b, n: (0, 0, 0)),
+            pl.BlockSpec((num_heads, vol, vol), lambda b, n: (0, 0, 0)),
+            pl.BlockSpec((R, vol), lambda b, n: (0, 0)),
+            pl.BlockSpec((R, R), lambda b, n: (0, 0)),
             pl.BlockSpec((C, C), lambda b, n: (0, 0)),
             pl.BlockSpec((1, C), lambda b, n: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((num_heads, R, R), jnp.float32)] if _HAS_PLTPU else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * nC * vol * C * 4 * C
             + 2 * 2 * B * (nC // G) * num_heads * R * R * (C // num_heads),
             bytes_accessed=2 * x.size * x.dtype.itemsize
-            + (w_qkv.size + w_proj.size + biasmask.size) * 4,
+            + (w_qkv.size + w_proj.size) * 4,
             transcendentals=B * (nC // G) * num_heads * R * R,
         ),
         interpret=interpret,
-    )(x, row(ln_scale), row(ln_bias), w_qkv, biasmask, w_proj, row(b_proj))
+    )(x, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
+      jnp.asarray(rep_np), jnp.asarray(maskadd_np), w_proj, row(b_proj))
 
 
 def cuboid_attention_reference(q, k, v, bias, mask=None, scale=1.0):
