@@ -124,12 +124,26 @@ class CuboidSelfAttentionLayer(nn.Module):
 
         from ..ops.pallas_attention import (
             fused_cuboid_attention_layer_v4,
+            fused_axial_attention_5d,
+            axial_attention_plan,
             pick_cuboid_group,
         )
 
         vol = cuboid_size[0] * cuboid_size[1] * cuboid_size[2]
         num_cuboids = (T // cuboid_size[0]) * (H // cuboid_size[1]) * (W // cuboid_size[2])
-        if self.dim % 128 != 0 or pick_cuboid_group(num_cuboids, vol) is None:
+        # axial single-axis cuboid spanning its full axis: the 5-D kernel
+        # consumes the natural layout, no reorder transpose
+        axial_axis = None
+        if self.dim % 128 == 0:
+            for ax in range(3):
+                if (cuboid_size[ax] == (T, H, W)[ax]
+                        and all(cuboid_size[o] == 1 for o in range(3) if o != ax)):
+                    if axial_attention_plan(x.shape, ax) is not None:
+                        axial_axis = ax
+                    break
+        if axial_axis is None and (
+            self.dim % 128 != 0 or pick_cuboid_group(num_cuboids, vol) is None
+        ):
             return None
         (ln_scale, ln_bias) = _ParamHolder(
             leaves=(("scale", (C,), nn.initializers.ones),
@@ -150,11 +164,16 @@ class CuboidSelfAttentionLayer(nn.Module):
         else:
             bias = jnp.zeros((self.num_heads, vol, vol), x.dtype)
         scale = self.qk_scale or (C // self.num_heads) ** -0.5
+        interpret = jax.default_backend() != "tpu"
+        if axial_axis is not None:
+            return fused_axial_attention_5d(
+                x, axial_axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+                num_heads=self.num_heads, scale=scale, interpret=interpret,
+            )
         reordered = cuboid_reorder(x, cuboid_size=cuboid_size, strategy=self.strategy)
         out = fused_cuboid_attention_layer_v4(
             reordered, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-            num_heads=self.num_heads, scale=scale,
-            interpret=jax.default_backend() != "tpu",
+            num_heads=self.num_heads, scale=scale, interpret=interpret,
         )
         return cuboid_reorder_reverse(
             out, cuboid_size=cuboid_size, strategy=self.strategy,

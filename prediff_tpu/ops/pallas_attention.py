@@ -301,20 +301,27 @@ def _fused_layer_kernel_v4(
                    # NEG_INF elsewhere (R = G*vol)
     wproj_ref,     # (C, C)
     bproj_ref,     # (1, C)
-    o_ref,         # (1, G, vol, C)
-    bm_ref,        # VMEM scratch (heads, R, R): tiled bias + mask, built once
-    *, num_heads, scale, eps, mxu_dtype,
+    o_ref,         # (1, *dims, C) — any block whose flattened rows follow
+                   #                 the (rep, maskadd) cuboid structure
+    bm_ref,        # VMEM scratch (heads, R, R): expanded bias + mask
+    *, num_heads, scale, eps, mxu_dtype, grid_rank=2,
 ):
-    G, vol, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    R = G * vol
+    dims = x_ref.shape[1:-1]
+    C = x_ref.shape[-1]
+    R = int(np.prod(dims))
     hc = C // num_heads
+    first_cell = pl.program_id(1) == 0
+    for d in range(2, grid_rank):
+        first_cell = jnp.logical_and(first_cell, pl.program_id(d) == 0)
 
-    # Build the block-diagonal (bias + NEG_INF mask) matrices ONCE per kernel
-    # launch — scratch persists across grid cells.  (Building them outside
-    # the kernel re-tiled them on EVERY denoise step: XLA's loop-invariant
-    # code motion never hoists broadcasts.  tiled = rep @ bias_h @ rep^T ==
-    # jnp.tile(bias_h, (G, G)) via two tiny MXU matmuls.)
-    @pl.when(pl.program_id(1) == 0)
+    # Build the (bias + NEG_INF mask) matrices ONCE per kernel launch —
+    # scratch persists across grid cells.  (Building them outside the kernel
+    # re-tiled them on EVERY denoise step: XLA's loop-invariant code motion
+    # never hoists broadcasts.  expanded = rep @ bias_h @ rep^T gathers
+    # bias_h[pos(i), pos(j)] via two tiny MXU matmuls, where rep[r, pos(r)]=1
+    # encodes each row's within-cuboid position — jnp.tile for the
+    # cuboid-major layout, interleaved patterns for natural axial layouts.)
+    @pl.when(first_cell)
     def _():
         rep = rep_ref[...]
         for h in range(num_heads):
@@ -357,11 +364,18 @@ def _fused_layer_kernel_v4(
         attn.astype(mxu_dtype), wproj_ref[...].astype(mxu_dtype),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[0].astype(jnp.float32)
-    o_ref[0] = out.reshape(G, vol, C).astype(o_ref.dtype)
+    o_ref[0] = out.reshape(dims + (C,)).astype(o_ref.dtype)
 
 
-def pick_cuboid_group(nC: int, vol: int, max_rows: int = 256) -> Optional[int]:
+# Row budget for one v4 grid cell (tunable; probe36 measured 256 vs 416 as
+# a wash on the chain, so keep the smaller VMEM footprint).
+V4_MAX_ROWS = 256
+
+
+def pick_cuboid_group(nC: int, vol: int, max_rows: Optional[int] = None) -> Optional[int]:
     """Largest G dividing nC with G*vol <= max_rows and G*vol % 8 == 0."""
+    if max_rows is None:
+        max_rows = V4_MAX_ROWS
     best = None
     for g in range(1, nC + 1):
         if nC % g:
@@ -452,6 +466,144 @@ def fused_cuboid_attention_layer_v4(
         interpret=interpret,
     )(x, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
       jnp.asarray(rep_np), jnp.asarray(maskadd_np), w_proj, row(b_proj))
+
+
+def _largest_divisor(n: int, cap: int, align_with: int = 1) -> Optional[int]:
+    """Largest d | n with d*align_with <= cap and (d*align_with) % 8 == 0."""
+    best = None
+    for d in range(1, n + 1):
+        if n % d:
+            continue
+        r = d * align_with
+        if r > cap:
+            break
+        if r % 8 == 0:
+            best = d
+    return best
+
+
+def axial_attention_plan(shape, axis: int):
+    """Grid/block/rep/mask plan for a single-axis ('axial') cuboid attention
+    applied DIRECTLY to the natural (B, T, H, W, C) layout — no
+    cuboid_reorder transpose.  Returns None when no aligned tiling exists.
+
+    Every block contains only whole cuboids; rep[r, pos(r)] = 1 encodes each
+    flattened row's position within its cuboid, and maskadd kills
+    cross-cuboid score entries."""
+    B, T, H, W, C = shape
+    cap = max(V4_MAX_ROWS, 8)
+    if axis == 0:      # cuboid (T,1,1): block = all T x a W-tile, grid over (H, W/wb)
+        wb = _largest_divisor(W, max(cap, T), align_with=T)
+        if wb is None:
+            return None
+        R = T * wb
+        block = (1, T, 1, wb, C)
+        grid_tail = (H, W // wb)
+        index_map = lambda b, h, w: (b, 0, h, w, 0)  # noqa: E731
+        pos = np.arange(R) // wb          # row r = (t, w): position = t
+        same = (np.arange(R) % wb)[:, None] == (np.arange(R) % wb)[None]
+        vol = T
+    elif axis == 1:    # cuboid (1,H,1): block = k full t-slices
+        k = _largest_divisor(T, max(cap, H * W), align_with=H * W)
+        if k is None:
+            return None
+        R = k * H * W
+        block = (1, k, H, W, C)
+        grid_tail = (T // k,)
+        index_map = lambda b, n: (b, n, 0, 0, 0)  # noqa: E731
+        r = np.arange(R)
+        pos = (r // W) % H                # row r = (t, h, w): position = h
+        same = ((r // (H * W))[:, None] == (r // (H * W))[None]) \
+            & ((r % W)[:, None] == (r % W)[None])
+        vol = H
+    elif axis == 2:    # cuboid (1,1,W): the natural layout IS cuboid-major —
+        # the caller reshapes to (B, T*H, W, C) without data movement
+        g = _largest_divisor(T * H, max(cap, W), align_with=W)
+        if g is None:
+            return None
+        R = g * W
+        block = (1, g, W, C)
+        grid_tail = (T * H // g,)
+        index_map = lambda b, n: (b, n, 0, 0)  # noqa: E731
+        r = np.arange(R)
+        pos = r % W
+        same = (r // W)[:, None] == (r // W)[None]
+        vol = W
+    else:
+        return None
+    rep = np.zeros((R, vol), np.float32)
+    rep[np.arange(R), pos] = 1.0
+    maskadd = np.where(same, 0.0, NEG_INF).astype(np.float32)
+    return dict(block=block, grid_tail=grid_tail, index_map=index_map,
+                rep=rep, maskadd=maskadd, vol=vol, R=R, axis=axis)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "num_heads", "scale", "eps",
+                              "mxu_dtype_name", "interpret")
+)
+def fused_axial_attention_5d(
+    x: jnp.ndarray,          # (B, T, H, W, C) natural layout
+    axis: int,               # 0 (T), 1 (H) or 2 (W): the attention axis
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    bias: jnp.ndarray,       # (heads, vol, vol)
+    w_proj: jnp.ndarray,
+    b_proj: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    mxu_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """v4 whole-layer attention on the NATIVE (B,T,H,W,C) layout for axial
+    patterns — the cuboid reorder/reverse transposes (a real HBM copy for
+    the T- and H-axis patterns) disappear into BlockSpec index maps."""
+    plan = axial_attention_plan(x.shape, axis)
+    assert plan is not None, "caller must gate with axial_attention_plan()"
+    B, T, H, W, C = x.shape
+    x_in = x.reshape(B, T * H, W, C) if axis == 2 else x
+    out_shape = x_in.shape
+    grid = (B,) + plan["grid_tail"]
+    kernel = functools.partial(
+        _fused_layer_kernel_v4, num_heads=num_heads, scale=scale, eps=eps,
+        mxu_dtype=jnp.dtype(mxu_dtype_name), grid_rank=len(grid),
+    )
+    vol, R = plan["vol"], plan["R"]
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda *idx, _n=len(shape): (0,) * _n)
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(plan["block"], plan["index_map"]),
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)),
+            const((num_heads, vol, vol)),
+            const((R, vol)),
+            const((R, R)),
+            const((C, C)), const((1, C)),
+        ],
+        out_specs=pl.BlockSpec(plan["block"], plan["index_map"]),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((num_heads, R, R), jnp.float32)] if _HAS_PLTPU else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * H * W * C * 4 * C
+            + 2 * 2 * B * int(np.prod(plan["grid_tail"])) * num_heads * R * R
+            * (C // num_heads),
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (w_qkv.size + w_proj.size) * 4,
+            transcendentals=B * int(np.prod(plan["grid_tail"])) * num_heads * R * R,
+        ),
+        interpret=interpret,
+    )(x_in, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
+      jnp.asarray(plan["rep"]), jnp.asarray(plan["maskadd"]),
+      w_proj, row(b_proj))
+    return out.reshape(B, T, H, W, C) if axis == 2 else out
 
 
 def cuboid_attention_reference(q, k, v, bias, mask=None, scale=1.0):

@@ -114,6 +114,52 @@ def test_layer_mode_v4_matches_einsum_path_dim128():
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_fused)
 
 
+@pytest.mark.parametrize("axis,cuboid", [
+    (0, (13, 1, 1)),   # axial-T: reorder would transpose; 5-D path avoids it
+    (1, (1, 8, 1)),    # axial-H
+    (2, (1, 1, 8)),    # axial-W
+])
+def test_layer_mode_axial_5d_matches_einsum_path(axis, cuboid):
+    """The natural-layout axial kernel matches the einsum path with shared
+    params for every axis of the v1 'axial' pattern."""
+    from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
+    from prediff_tpu.ops.pallas_attention import axial_attention_plan
+
+    assert axial_attention_plan((1, 13, 8, 8, 128), axis) is not None
+    kw = dict(dim=128, num_heads=4, cuboid_size=cuboid, shift_size=(0, 0, 0),
+              strategy=("l", "l", "l"), padding_type="zeros",
+              attn_drop=0.0, proj_drop=0.0)
+    base = CuboidSelfAttentionLayer(**kw)
+    fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
+    x = jnp.asarray(np.random.RandomState(6 + axis).randn(1, 13, 8, 8, 128)
+                    .astype(np.float32))
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    out_base = base.apply({"params": params}, x)
+    out_fused = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
+                               rtol=3e-2, atol=3e-2)
+    params_fused = fused.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_fused)
+
+
+def test_axial_plan_row_structures():
+    from prediff_tpu.ops.pallas_attention import axial_attention_plan, NEG_INF
+
+    # axial-H at the stage-1 shape: one full t-slice per cell
+    p = axial_attention_plan((1, 13, 16, 16, 256), 1)
+    assert p["R"] == 256 and p["vol"] == 16 and p["grid_tail"] == (13,)
+    # row r = h*16 + w: same cuboid iff same w
+    m = p["maskadd"]
+    assert m[0, 16] == 0.0 and m[0, 1] == NEG_INF
+    assert p["rep"][17, 1] == 1.0  # r=17 -> h=1
+    # axial-T at the stage-1 shape: 13 x wb rows
+    p = axial_attention_plan((1, 13, 16, 16, 256), 0)
+    assert p["vol"] == 13 and p["R"] % 8 == 0
+    # axial-W: cuboid-major already
+    p = axial_attention_plan((1, 13, 16, 16, 256), 2)
+    assert p["vol"] == 16 and p["R"] % 16 == 0
+
+
 def test_layer_mode_matches_einsum_path():
     from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
 
