@@ -1,6 +1,11 @@
 """Round-2 probe: (a) elementwise on-TPU equivalence of the full forecast
 with all fused kernels vs pure-XLA path; (b) fresh op profile of the
-all-kernels forward."""
+all-kernels forward.
+
+NOTE: params are RANDOMIZED over every leaf.  The v1 init zero-initializes
+ffn_2 / attention proj / out_conv (linear_init mode "2"), which makes a
+fresh-init comparison vacuous — those paths output constants and any kernel
+difference is multiplied by zero."""
 import sys, os, glob, collections, re
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import numpy as np
@@ -20,6 +25,11 @@ for tag, on in [("xla", False), ("pallas", True)]:
     cfg.model.latent_model.use_pallas_ffn = on
     cfg.model.latent_model.use_pallas_gn = on
     ld, params = build_pipeline(cfg, rng=jax.random.PRNGKey(0), with_alignment=False)
+    leaves, treedef = jax.tree_util.tree_flatten(params["unet"])
+    rs = np.random.RandomState(7)
+    leaves = [jnp.asarray(rs.randn(*l.shape).astype(np.float32) * 0.05)
+              for l in leaves]
+    params = dict(params, unet=jax.tree_util.tree_unflatten(treedef, leaves))
     pipes[tag] = (ld, params)
     out = ld.sample(params["unet"], params["vae"], jax.random.PRNGKey(7), y,
                     timesteps=M, return_decoded=True)

@@ -56,6 +56,16 @@ def test_pick_token_tile():
     assert not pallas_ffn.supports_shape(3328, 250, 1024)  # unaligned C
 
 
+def _randomize(params, seed=11, scale=0.06):
+    """Randomize every leaf — ffn_2 is zero-init (mode "2"), which would
+    otherwise make the fused-vs-module comparison vacuous."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rs = np.random.RandomState(seed)
+    leaves = [jnp.asarray(rs.randn(*l.shape).astype(np.float32) * scale)
+              for l in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _module_outputs(use_pallas, x5d, params=None):
     ffn = PositionwiseFFN(
         units=256, hidden_size=1024, activation="gelu", pre_norm=True,
@@ -71,12 +81,15 @@ def test_positionwise_ffn_fused_path_matches_module():
     shape, with an IDENTICAL param tree (checkpoint-conversion invariant)."""
     rs = np.random.RandomState(0)
     x5d = jnp.asarray(rs.randn(1, 13, 16, 16, 256).astype(np.float32) * 0.5)
-    ref_out, ref_params = _module_outputs(False, x5d)
-    fused_out, fused_params = _module_outputs(True, x5d)
-    assert jax.tree.structure(ref_params) == jax.tree.structure(fused_params)
-    # same init values for same rng
-    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(fused_params)):
+    _, init_params = _module_outputs(False, x5d)
+    _, fused_init = _module_outputs(True, x5d)
+    assert jax.tree.structure(init_params) == jax.tree.structure(fused_init)
+    # same init values for same rng, whichever path initializes
+    for a, b in zip(jax.tree.leaves(init_params), jax.tree.leaves(fused_init)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rnd = _randomize(init_params)
+    ref_out, ref_params = _module_outputs(False, x5d, params=rnd)
+    fused_out, fused_params = _module_outputs(True, x5d, params=rnd)
     # fused path uses bf16 MXU operands (matches TPU default matmul precision)
     np.testing.assert_allclose(
         np.asarray(fused_out), np.asarray(ref_out), rtol=3e-2, atol=3e-2
@@ -136,6 +149,9 @@ def test_unet_with_fused_ffn_matches_unfused():
     params_fused = unet_fused.init(jax.random.PRNGKey(0), z, t, zc)["params"]
     assert jax.tree.structure(params) == jax.tree.structure(params_fused)
 
+    # randomize every leaf: the v1 init zero-inits ffn_2, which would make
+    # the FFN-path comparison vacuous
+    params = _randomize(params, seed=3)
     ref = unet_ref.apply({"params": params}, z, t, zc)
     fused = unet_fused.apply({"params": params}, z, t, zc)
     # bf16 MXU operands in the kernel vs f32 CPU matmuls

@@ -35,6 +35,16 @@ def test_supports_shape_gates():
     assert not pg.supports_shape(3328, 250, 25)    # unaligned C
 
 
+def _randomize(params, seed=13, scale=0.06):
+    """Randomize every leaf — out_conv is zero-init, which would otherwise
+    erase the second GN site from the comparison."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rs = np.random.RandomState(seed)
+    leaves = [jnp.asarray(rs.randn(*l.shape).astype(np.float32) * scale)
+              for l in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _resblock_outputs(use_pallas, x, emb, params=None):
     block = TimeEmbedResBlock(
         channels=256, emb_channels=64, out_channels=256, use_embed=True,
@@ -49,8 +59,10 @@ def test_resblock_fused_gn_matches_module():
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randn(1, 13, 16, 16, 256).astype(np.float32))
     emb = jnp.asarray(rs.randn(1, 64).astype(np.float32))
-    ref_out, ref_params = _resblock_outputs(False, x, emb)
-    fused_out, fused_params = _resblock_outputs(True, x, emb)
+    _, init_params = _resblock_outputs(False, x, emb)
+    rnd = _randomize(init_params)
+    ref_out, ref_params = _resblock_outputs(False, x, emb, params=rnd)
+    fused_out, fused_params = _resblock_outputs(True, x, emb, params=rnd)
     assert jax.tree.structure(ref_params) == jax.tree.structure(fused_params)
     np.testing.assert_allclose(np.asarray(fused_out), np.asarray(ref_out),
                                rtol=2e-4, atol=2e-4)

@@ -93,6 +93,18 @@ def test_pick_cuboid_group_and_biasmask():
     assert (m[:, :3, 3:] == NEG_INF).all() and (m[:, 3:, :3] == NEG_INF).all()
 
 
+def _randomize(params, seed=7, scale=0.06):
+    """Randomize EVERY param leaf.  The v1 init zero-initializes the
+    attention proj (init mode "2"), which would make fused-vs-einsum
+    comparisons vacuous — the attention output would be multiplied by 0."""
+    import jax.numpy as jnp
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rs = np.random.RandomState(seed)
+    leaves = [jnp.asarray(rs.randn(*l.shape).astype(np.float32) * scale)
+              for l in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def test_layer_mode_v4_matches_einsum_path_dim128():
     """use_pallas_attention='layer' routes through v4 on an eligible config
     (C=128, no shift) and matches the einsum path with shared params."""
@@ -104,7 +116,7 @@ def test_layer_mode_v4_matches_einsum_path_dim128():
     base = CuboidSelfAttentionLayer(**kw)
     fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
     x = jnp.asarray(np.random.RandomState(5).randn(1, 4, 8, 8, 128).astype(np.float32))
-    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    params = _randomize(base.init(jax.random.PRNGKey(0), x)["params"])
     out_base = base.apply({"params": params}, x)
     out_fused = fused.apply({"params": params}, x)
     # v4 uses bf16 MXU operands (XLA's default f32 matmul precision on TPU)
@@ -133,7 +145,7 @@ def test_layer_mode_axial_5d_matches_einsum_path(axis, cuboid):
     fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
     x = jnp.asarray(np.random.RandomState(6 + axis).randn(1, 13, 8, 8, 128)
                     .astype(np.float32))
-    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    params = _randomize(base.init(jax.random.PRNGKey(0), x)["params"])
     out_base = base.apply({"params": params}, x)
     out_fused = fused.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
@@ -169,7 +181,7 @@ def test_layer_mode_matches_einsum_path():
     base = CuboidSelfAttentionLayer(**kw)
     fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
     x = jnp.asarray(np.random.RandomState(3).randn(2, 4, 8, 8, 32).astype(np.float32))
-    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    params = _randomize(base.init(jax.random.PRNGKey(0), x)["params"])
     out_base = base.apply({"params": params}, x)
     out_fused = fused.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
@@ -188,7 +200,7 @@ def test_layer_mode_falls_back_on_shift():
     base = CuboidSelfAttentionLayer(**kw)
     fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
     x = jnp.asarray(np.random.RandomState(4).randn(1, 4, 8, 8, 32).astype(np.float32))
-    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    params = _randomize(base.init(jax.random.PRNGKey(0), x)["params"])
     out_base = base.apply({"params": params}, x)
     out_fused = fused.apply({"params": params}, x)  # falls back to v2 kernel
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
