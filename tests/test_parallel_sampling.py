@@ -65,6 +65,80 @@ def test_sample_ensemble_shapes(tiny_pipeline):
     assert not np.allclose(np.asarray(ens[0]), np.asarray(ens[1]))
 
 
+def test_sharded_sampling_with_pallas_kernels(tiny_pipeline_pallas):
+    """Batch-sharded sampling composes with the fused Pallas kernels (the
+    kernels are jit-inlined custom calls; GSPMD must still produce the same
+    forecasts as the unsharded pure-XLA path).  C=128 so every kernel is
+    shape-eligible; interpret mode on CPU."""
+    ld_pallas, ld_plain, params, vae_params, IN_LEN, IMG = tiny_pipeline_pallas
+    mesh = make_mesh()
+    y = jnp.asarray(np.random.RandomState(0).rand(8, IN_LEN, IMG, IMG, 1)
+                    .astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    out_plain = ld_plain.sample(params, vae_params, rng, y)
+    out_sharded = ld_pallas.sample(params, vae_params, rng, shard_batch(y, mesh))
+    # kernels quantize matmul operands to bf16; CPU reference path is f32
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_plain),
+                               rtol=5e-2, atol=5e-2)
+    out_unsharded = ld_pallas.sample(params, vae_params, rng, y)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_unsharded),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline_pallas():
+    """Kernel-eligible (C=128) tiny pipeline, fused kernels on vs off."""
+    from prediff_tpu.models.unet import CuboidTransformerUNet
+    from prediff_tpu.models.vae import AutoencoderKL
+    from prediff_tpu.diffusion import LatentDiffusion
+
+    IN_LEN, OUT_LEN, IMG, LAT, LAT_C = 2, 2, 8, 2, 2
+
+    def build_unet(pallas):
+        return CuboidTransformerUNet(
+            input_shape=(IN_LEN, LAT, LAT, LAT_C),
+            target_shape=(OUT_LEN, LAT, LAT, LAT_C),
+            base_units=128, depth=[1], block_attn_patterns="full", num_heads=2,
+            padding_type="zeros", ffn_activation="gelu",
+            use_pallas_ffn=pallas, use_pallas_gn=pallas,
+            use_pallas_attention="layer" if pallas else False,
+        )
+
+    vae = AutoencoderKL(
+        in_channels=1, out_channels=1,
+        down_block_types=("DownEncoderBlock2D",) * 3,
+        up_block_types=("UpDecoderBlock2D",) * 3,
+        block_out_channels=(4, 8, 8), layers_per_block=1,
+        latent_channels=LAT_C, norm_num_groups=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    unet = build_unet(True)
+    params = unet.init(rng, jnp.zeros((1, OUT_LEN, LAT, LAT, LAT_C)),
+                       jnp.zeros((1,), jnp.int32),
+                       jnp.zeros((1, IN_LEN, LAT, LAT, LAT_C)))["params"]
+    # randomize every leaf so the zero-init output layers don't mask kernels
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rs = np.random.RandomState(5)
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(rs.randn(*l.shape).astype(np.float32) * 0.06) for l in leaves],
+    )
+    vae_params = vae.init(rng, jnp.zeros((1, IMG, IMG, 1)))["params"]
+
+    def make_ld(u):
+        return LatentDiffusion(
+            unet_apply=u.apply,
+            vae_apply_encode=lambda v, x: vae.apply(v, x, method=AutoencoderKL.encode_moments),
+            vae_apply_decode=lambda v, z: vae.apply(v, z, method=AutoencoderKL.decode),
+            timesteps=3, data_shape=(OUT_LEN, IMG, IMG, 1),
+            latent_shape=(OUT_LEN, LAT, LAT, LAT_C),
+            cond_latent_shape=(IN_LEN, LAT, LAT, LAT_C),
+        )
+
+    return (make_ld(build_unet(True)), make_ld(build_unet(False)),
+            params, vae_params, IN_LEN, IMG)
+
+
 def test_prefetch_to_device():
     mesh = make_mesh()
     batches = [np.full((8, 4), float(i), np.float32) for i in range(5)]
