@@ -134,6 +134,15 @@ def latent_model_default() -> Dict:
         time_embed_channels_mult=4,
         time_embed_use_scale_shift_norm=False, time_embed_dropout=0.0,
         unet_res_connect=True,
+        # Optional keys NOT in the defaults tree (kept out so the config
+        # stays tree-equal to the reference v1 YAMLs); the factory reads
+        # them with .get():
+        #   use_pallas_attention: False | True | "layer" | "auto" (default
+        #       "auto" = v4 whole-layer kernel on real TPU backends)
+        #   use_pallas_ffn:       False | True | "auto" (default "auto")
+        #   use_pallas_gn:        False | True | "auto" (default "auto")
+        # All fused kernels are inference-only and fall back per-layer on
+        # ineligible shapes; see prediff_tpu/ops/pallas_*.py.
     )
 
 
