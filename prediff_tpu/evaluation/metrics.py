@@ -7,6 +7,8 @@ follows the standard Wang et al. formulation with an 11x11 uniform window
 data_range inferred; we take data_range=1.0 for [0,1] VIL).
 CRPS is the fair ensemble estimator — part of the rebuild's north-star
 metric suite (BASELINE.md)."""
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,9 +25,25 @@ class MeanMetric:
         self.total = 0.0
         self.count = 0.0
 
-    def update(self, value: jnp.ndarray, weight: float = 1.0):
-        self.total += float(jnp.sum(value))
-        self.count += float(weight) * value.size
+    def update(self, value: jnp.ndarray, weight: Optional[float] = None):
+        """Accumulate ``value`` with ``weight`` = the number of elements the
+        (possibly already-reduced) value represents; defaults to value.size.
+
+        Torchmetrics parity: MeanSquaredError et al. accumulate element sums
+        and element counts, so ragged final batches are weighted by their true
+        size — pass the element count when updating with a batch-mean scalar
+        (round-2 verdict weak #6: a mean of batch-means diverges on ragged
+        tails)."""
+        v = float(jnp.sum(value))
+        n = max(int(np.size(value)), 1)
+        w = float(weight) if weight is not None else float(n)
+        self.total += (v / n) * w
+        self.count += w
+
+    def merge(self, other: "MeanMetric"):
+        """Sum states (shard / cross-process reduction)."""
+        self.total += other.total
+        self.count += other.count
 
     def compute(self) -> float:
         return self.total / max(self.count, 1e-12)

@@ -53,19 +53,92 @@ class ForecastEvalSuite:
         assert preds.ndim == target.ndim + 1, (preds.shape, target.shape)
         for pred in preds:
             self.score.update(pred, target)
-            self.mse.update(mse(pred, target))
-            self.mae.update(mae(pred, target))
+            # weight batch-mean scalars by their true element counts so ragged
+            # final batches don't skew the epoch mean (torchmetrics semantics)
+            n_el = int(np.prod(pred.shape))
+            self.mse.update(mse(pred, target), weight=n_el)
+            self.mae.update(mae(pred, target), weight=n_el)
             B, T = pred.shape[:2]
             self.ssim.update(
                 ssim(pred.reshape((B * T,) + pred.shape[2:]),
-                     target.reshape((B * T,) + target.shape[2:]))
+                     target.reshape((B * T,) + target.shape[2:])),
+                weight=B * T,  # torchmetrics SSIM: mean over images
             )
             if self.fvd is not None:
                 self.fvd.update(pred, real=False)
         if self.fvd is not None:
             self.fvd.update(target, real=True)
         if preds.shape[0] > 1:
-            self.crps.update(crps_ensemble(preds, target))
+            self.crps.update(crps_ensemble(preds, target),
+                             weight=int(np.prod(target.shape)))
+
+    # ---- shard / cross-process reduction ------------------------------ #
+    def merge(self, other: "ForecastEvalSuite"):
+        """Sum the other suite's state into this one (all states are additive
+        counts/sums — the reference's torchmetrics dist_reduce_fx='sum')."""
+        self.score.state = self.score.state.merge(other.score.state)
+        for mine, theirs in ((self.mse, other.mse), (self.mae, other.mae),
+                             (self.ssim, other.ssim), (self.crps, other.crps)):
+            mine.merge(theirs)
+        if self.fvd is not None and other.fvd is not None:
+            self.fvd.real = self.fvd.real.merge(other.fvd.real)
+            self.fvd.fake = self.fvd.fake.merge(other.fvd.fake)
+        return self
+
+    def state_tree(self) -> Dict:
+        """Additive numeric state as a flat pytree of numpy arrays."""
+        tree = {
+            "hits": np.asarray(self.score.state.hits),
+            "misses": np.asarray(self.score.state.misses),
+            "fas": np.asarray(self.score.state.fas),
+            "mse": np.asarray([self.mse.total, self.mse.count]),
+            "mae": np.asarray([self.mae.total, self.mae.count]),
+            "ssim": np.asarray([self.ssim.total, self.ssim.count]),
+            "crps": np.asarray([self.crps.total, self.crps.count]),
+        }
+        if self.fvd is not None:
+            for name, st in (("real", self.fvd.real), ("fake", self.fvd.fake)):
+                tree[f"fvd_{name}_sum"] = np.asarray(st.features_sum)
+                tree[f"fvd_{name}_cov"] = np.asarray(st.features_cov_sum)
+                tree[f"fvd_{name}_n"] = np.asarray(st.num_samples)
+        return tree
+
+    def load_state_tree(self, tree: Dict):
+        from .skill_scores import SkillScoreState
+        from .fvd import FVDState
+
+        self.score.state = SkillScoreState(
+            hits=jnp.asarray(tree["hits"]), misses=jnp.asarray(tree["misses"]),
+            fas=jnp.asarray(tree["fas"]),
+        )
+        for name, m in (("mse", self.mse), ("mae", self.mae),
+                        ("ssim", self.ssim), ("crps", self.crps)):
+            m.total, m.count = float(tree[name][0]), float(tree[name][1])
+        if self.fvd is not None and "fvd_real_sum" in tree:
+            for name in ("real", "fake"):
+                setattr(self.fvd, name, FVDState(
+                    features_sum=jnp.asarray(tree[f"fvd_{name}_sum"]),
+                    features_cov_sum=jnp.asarray(tree[f"fvd_{name}_cov"]),
+                    num_samples=jnp.asarray(tree[f"fvd_{name}_n"]),
+                ))
+
+    def cross_process_reduce(self):
+        """Sum metric state across all JAX processes before compute() — the
+        reference reduces via torchmetrics sync_dist=True / dist_reduce_fx=
+        'sum' (train_sevirlr_prediff.py:818-819, evaluation.py:155-163).
+        No-op in single-process runs."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(self.state_tree())
+        summed = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).sum(axis=0), gathered
+        )
+        self.load_state_tree(summed)
+        return self
 
     def compute(self, prefix: str) -> Dict[str, float]:
         """Epoch-end metrics in the reference's key scheme; also emits

@@ -32,6 +32,7 @@ class DiffusionTrainer:
         ema_decay: float = 0.9999,
         mesh: Optional[Mesh] = None,
         remat_unet: bool = False,
+        track_grad_norm: bool = False,
     ):
         self.ld = ld
         self.vae_params = vae_params
@@ -40,6 +41,7 @@ class DiffusionTrainer:
         self.ema_decay = ema_decay
         self.mesh = mesh
         self.remat_unet = remat_unet
+        self.track_grad_norm = track_grad_norm
         self._train_step = None
         self._val_step = None
 
@@ -78,6 +80,13 @@ class DiffusionTrainer:
             (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads)
             loss_dict["grad_norm"] = optax_global_norm(grads)
+            if self.track_grad_norm:
+                # per-top-level-module norms (parity: Lightning
+                # track_grad_norm=2, ref train_sevirlr_prediff.py:1088-1094)
+                for name, sub in grads["unet"].items():
+                    loss_dict[f"grad_norm/unet.{name}"] = optax_global_norm(sub)
+                if "logvar" in grads:
+                    loss_dict["grad_norm/logvar"] = optax_global_norm(grads["logvar"])
             return new_state, loss_dict
 
         if self.mesh is not None:

@@ -41,33 +41,49 @@ class MetricLogger:
 
 
 class CheckpointTracker:
-    """save_top_k by a monitored metric + always-save-last (parity with
-    Lightning ModelCheckpoint semantics used by the reference)."""
+    """save_top_k by a monitored metric + keep-the-latest (parity with
+    Lightning ModelCheckpoint save_top_k/save_last semantics used by the
+    reference, train_sevirlr_prediff.py:602-610).
+
+    Retention is managed here by monitored score — NOT by orbax recency
+    pruning — so the best checkpoint can never be evicted by later, worse
+    improvements.  ``self.best`` stores raw (score, step) pairs sorted
+    best-first for both modes."""
 
     def __init__(self, save_dir: str, monitor: str = "val/loss",
                  mode: str = "min", save_top_k: int = 3):
+        assert mode in ("min", "max"), mode
         self.save_dir = save_dir
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
-        self.best: list = []  # (score, step)
+        self.best: list = []  # (score, step), best first
+        self.saved: set = set()  # steps currently on disk
+        self.last_step: int = -1
+
+    def _sort_key(self, entry):
+        score, _ = entry
+        return -score if self.mode == "max" else score
 
     def is_improvement(self, score: float) -> bool:
         if len(self.best) < self.save_top_k:
             return True
-        worst = max(self.best)[0] if self.mode == "min" else -max(
-            (-s, st) for s, st in self.best
-        )[0]
+        worst = self.best[-1][0]
         return score < worst if self.mode == "min" else score > worst
 
     def update(self, score: float, step: int, state: Any):
-        from ..utils.checkpoint import save_checkpoint
+        from ..utils.checkpoint import save_checkpoint, delete_checkpoint
 
-        self.best.append((score if self.mode == "min" else -score, step))
-        self.best.sort()
+        path = os.path.join(self.save_dir, "ckpt")
+        save_checkpoint(path, state, step=step, keep=None)
+        self.last_step = step
+        self.best.append((float(score), step))
+        self.best.sort(key=self._sort_key)
         self.best = self.best[: self.save_top_k]
-        save_checkpoint(os.path.join(self.save_dir, "ckpt"), state, step=step,
-                        keep=self.save_top_k + 1)
+        desired = {st for _, st in self.best} | {self.last_step}
+        for st in sorted((self.saved | {step}) - desired):
+            delete_checkpoint(path, st)
+        self.saved = desired
 
 
 class EarlyStopper:
@@ -117,6 +133,23 @@ def fit(
     tracker = CheckpointTracker(save_dir, monitor, monitor_mode, save_top_k)
     stopper = EarlyStopper(early_stop_patience, monitor_mode, early_stop)
     global_step = int(jax.device_get(state.step))
+    last_val_step = None
+
+    def run_validation():
+        """Validate + top-k checkpoint; returns True when early-stopping."""
+        nonlocal last_val_step
+        val_metrics = val_fn(state)
+        logger.log(global_step, val_metrics)
+        last_val_step = global_step
+        score = val_metrics.get(monitor)
+        if score is not None:
+            if tracker.is_improvement(score):
+                tracker.update(score, global_step, state)
+            if stopper.should_stop(score):
+                return True
+        return False
+
+    stop = False
     for epoch in range(max_epochs):
         for batch in train_batches_fn(epoch):
             state, metrics = train_step(state, rng, *make_batch_args(batch))
@@ -124,16 +157,15 @@ def fit(
             if global_step % log_every_n_steps == 0:
                 logger.log(global_step, jax.device_get(metrics))
             if max_steps is not None and global_step >= max_steps:
+                stop = True  # hit mid-epoch: final validation still runs below
                 break
-        if val_fn is not None and (epoch + 1) % check_val_every_n_epoch == 0:
-            val_metrics = val_fn(state)
-            logger.log(global_step, val_metrics)
-            score = val_metrics.get(monitor)
-            if score is not None:
-                if tracker.is_improvement(score):
-                    tracker.update(score, global_step, state)
-                if stopper.should_stop(score):
-                    break
-        if max_steps is not None and global_step >= max_steps:
+        if val_fn is not None and (stop or (epoch + 1) % check_val_every_n_epoch == 0):
+            if run_validation():
+                stop = True
+        if stop:
             break
+    # a run that ended on an off-cadence epoch (max_epochs exhausted between
+    # validations) still gets a final validation + checkpoint
+    if val_fn is not None and last_val_step != global_step and global_step > 0:
+        run_validation()
     return state

@@ -15,8 +15,10 @@ import numpy as np
 
 
 def save_checkpoint(path: str, state: Any, step: Optional[int] = None,
-                    keep: int = 3):
-    """Save a pytree train state with orbax."""
+                    keep: Optional[int] = 3):
+    """Save a pytree train state with orbax.  ``keep=None`` disables orbax
+    recency pruning (used by CheckpointTracker, which retains checkpoints by
+    monitored score instead — Lightning save_top_k semantics)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -27,6 +29,16 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None,
         step = int(step if step is not None else jax.device_get(state.step))
         mngr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
         mngr.wait_until_finished()
+
+
+def delete_checkpoint(path: str, step: int):
+    """Remove one saved step (no-op when absent)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.CheckpointManager(path) as mngr:
+        if step in mngr.all_steps():
+            mngr.delete(step)
 
 
 def restore_checkpoint(path: str, target: Any, step: Optional[int] = None) -> Any:

@@ -137,6 +137,8 @@ def main():
         ),
         use_ema=cfg.model.diffusion.use_ema,
         mesh=mesh,
+        # Lightning semantics: track_grad_norm=-1 is off, p>=1 logs norms
+        track_grad_norm=cfg.logging.track_grad_norm != -1,
     )
 
     in_slice, out_slice = layout_to_in_out_slice(
@@ -220,7 +222,8 @@ def main():
                                   alignment_kwargs=get_alignment_kwargs_avg_x(x))
                 preds = ld.sample_ensemble(
                     state.params["unet"], params["vae"], sample_rng, y,
-                    num_samples=cfg.eval.num_samples_per_context, **kwargs,
+                    num_samples=cfg.eval.num_samples_per_context,
+                    mesh=mesh, **kwargs,
                 )
                 suite.update(preds, x)
                 vis_preds.append(preds[0])
@@ -241,7 +244,7 @@ def main():
             pred = ld.sample_ensemble(
                 state.params["unet"], params["vae"],
                 jax.random.fold_in(rng, 2_000_003 + val_counter["n"]), y,
-                num_samples=1, **val_sampler_kwargs,
+                num_samples=1, mesh=mesh, **val_sampler_kwargs,
             )
             try:
                 save_example_vis(save_dir, cfg, y, x, [pred[0]], ["train_pred"],
@@ -253,6 +256,9 @@ def main():
             if vals else {}
         )
         for name, suite in suites.items():
+            # multi-host: reduce metric state across processes (each host saw
+            # only its input shard; ref torchmetrics sync_dist=True)
+            suite.cross_process_reduce()
             out.update(suite.compute(
                 "valid" if name == "unaligned" else "valid_aligned"
             ))
@@ -388,7 +394,7 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
             preds = ld.sample_ensemble(
                 params["unet"], params["vae"],
                 jax.random.fold_in(rng, bidx), y,
-                num_samples=n_samples, **kwargs,
+                num_samples=n_samples, mesh=mesh, **kwargs,
             )  # (M, B, T, H, W, C)
             suite.update(preds, x)
             if cfg.logging.save_npy:  # ref :931-934 naming
@@ -411,6 +417,9 @@ def run_eval(args, cfg, ld, params, dm, save_dir, split_batch, mesh):
                 print(f"vis failed: {e}")
     results = {}
     for name, suite in suites.items():
+        # multi-host: sum metric states across processes before compute()
+        # (the reference's torchmetrics sync_dist=True, ref :818-819)
+        suite.cross_process_reduce()
         results.update(
             suite.compute("test" if name == "unaligned" else "test_aligned")
         )

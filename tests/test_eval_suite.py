@@ -87,6 +87,97 @@ def test_suite_fvd_wiring(data):
     assert int(fvd.fake.num_samples) == 0
 
 
+def test_mean_metric_element_weighted_ragged_batches():
+    """Epoch MSE over unequal batches must equal the flat element-weighted
+    computation (torchmetrics semantics), not a mean of batch-means."""
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(5, 4).astype(np.float32), rng.rand(2, 4).astype(np.float32)]
+    targets = [rng.rand(5, 4).astype(np.float32), rng.rand(2, 4).astype(np.float32)]
+    m = MeanMetric()
+    for p, t in zip(batches, targets):
+        m.update(mse(jnp.asarray(p), jnp.asarray(t)), weight=p.size)
+    flat_p = np.concatenate([b.ravel() for b in batches])
+    flat_t = np.concatenate([b.ravel() for b in targets])
+    expected = float(np.mean((flat_p - flat_t) ** 2))
+    assert m.compute() == pytest.approx(expected, rel=1e-6)
+    # raw-array updates stay element-weighted without an explicit weight
+    m2 = MeanMetric()
+    for p, t in zip(batches, targets):
+        m2.update(jnp.square(jnp.asarray(p) - jnp.asarray(t)))
+    assert m2.compute() == pytest.approx(expected, rel=1e-6)
+
+
+def test_suite_ragged_final_batch_matches_flat(data):
+    """Suite epoch MSE/MAE with a ragged final batch == flat computation."""
+    preds, target = data
+    suite = ForecastEvalSuite(threshold_list=THRESHOLDS, seq_len=T)
+    suite.update(preds, target)                      # full batch (B=2)
+    suite.update(preds[:, :1], target[:1])           # ragged tail (B=1)
+    got = suite.compute("test")
+    all_p = np.concatenate(
+        [np.asarray(preds).ravel(), np.asarray(preds[:, :1]).ravel()]
+    )
+    all_t = np.concatenate(
+        [np.broadcast_to(np.asarray(target)[None], preds.shape).ravel(),
+         np.broadcast_to(np.asarray(target[:1])[None], preds[:, :1].shape).ravel()]
+    )
+    assert got["test_mse_epoch"] == pytest.approx(
+        float(np.mean((all_p - all_t) ** 2)), rel=1e-5
+    )
+    assert got["test_mae_epoch"] == pytest.approx(
+        float(np.mean(np.abs(all_p - all_t))), rel=1e-5
+    )
+
+
+def test_suite_merge_equals_global(data):
+    """Two shard suites merged == one suite over all data (the multi-host
+    reduction path; ref torchmetrics dist_reduce_fx='sum')."""
+    preds, target = data
+
+    def cheap_features(videos):
+        flat = videos.reshape(videos.shape[0], -1)
+        return jnp.stack([flat[:, i::8].mean(axis=1) for i in range(8)], axis=1)
+
+    def make(with_fvd):
+        return ForecastEvalSuite(
+            threshold_list=THRESHOLDS, seq_len=T,
+            fvd=FrechetVideoDistance(feature_fn=cheap_features, num_features=8,
+                                     auto_t=True) if with_fvd else None,
+        )
+
+    # shard 0 sees batch element 0, shard 1 sees element 1
+    shard0, shard1, global_suite = make(True), make(True), make(True)
+    shard0.update(preds[:, :1], target[:1])
+    shard1.update(preds[:, 1:], target[1:])
+    global_suite.update(preds[:, :1], target[:1])
+    global_suite.update(preds[:, 1:], target[1:])
+    shard0.merge(shard1)
+    got, expected = shard0.compute("test"), global_suite.compute("test")
+    assert set(got) == set(expected)
+    for k in expected:
+        # FVD's matrix sqrt amplifies f32 accumulation-order noise
+        rel = 1e-3 if k == "test_fvd_epoch" else 1e-5
+        assert got[k] == pytest.approx(expected[k], rel=rel), k
+
+
+def test_suite_state_tree_roundtrip(data):
+    """state_tree/load_state_tree (the process_allgather payload) preserves
+    every metric, and summing two shard trees equals merge()."""
+    preds, target = data
+    a, b = (ForecastEvalSuite(threshold_list=THRESHOLDS, seq_len=T) for _ in range(2))
+    a.update(preds[:, :1], target[:1])
+    b.update(preds[:, 1:], target[1:])
+    summed = {k: v + b.state_tree()[k] for k, v in a.state_tree().items()}
+    merged = ForecastEvalSuite(threshold_list=THRESHOLDS, seq_len=T)
+    merged.load_state_tree(summed)
+    expected = ForecastEvalSuite(threshold_list=THRESHOLDS, seq_len=T)
+    expected.update(preds[:, :1], target[:1])
+    expected.update(preds[:, 1:], target[1:])
+    got, want = merged.compute("test"), expected.compute("test")
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-5), k
+
+
 def test_suite_rejects_unbatched_preds(data):
     preds, target = data
     suite = ForecastEvalSuite(threshold_list=THRESHOLDS, seq_len=T)

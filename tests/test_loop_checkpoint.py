@@ -59,6 +59,99 @@ def test_fit_loop_runs_and_checkpoints(tmp_path):
     assert os.path.isdir(tmp_path / "ckpt")
 
 
+def _ckpt_steps(path):
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(path)) as m:
+        return sorted(m.all_steps())
+
+
+@pytest.mark.parametrize("mode", ["min", "max"])
+def test_checkpoint_tracker_topk_by_score(tmp_path, mode):
+    """Retention is by monitored score, not recency: the best checkpoint must
+    survive later, worse improvements (the round-2 max_to_keep regression)."""
+    tracker = CheckpointTracker(str(tmp_path), mode=mode, save_top_k=2)
+    state = _make_state()
+    # scores chosen so the BEST arrives first, then two worse improvements
+    seq = [0.1, 0.5, 0.3] if mode == "min" else [0.9, 0.5, 0.7]
+    # top-2 after all updates: {0.1, 0.3} (min) / {0.9, 0.7} (max)
+    for i, s in enumerate(seq):
+        # every entry here fills or improves the top-k
+        if tracker.is_improvement(s):
+            tracker.update(s, step=i, state=state)
+    kept = _ckpt_steps(tmp_path / "ckpt")
+    assert kept == [0, 2], kept  # step 1 (worst) evicted, best (step 0) kept
+    assert [st for _, st in tracker.best] == [0, 2]
+
+
+@pytest.mark.parametrize("mode", ["min", "max"])
+def test_checkpoint_tracker_is_improvement_modes(mode):
+    tracker = CheckpointTracker("/tmp/unused", mode=mode, save_top_k=2)
+    fill = [1.0, 2.0]
+    tracker.best = sorted(((s, i) for i, s in enumerate(fill)),
+                          key=tracker._sort_key)
+    if mode == "min":
+        assert tracker.is_improvement(1.5)       # beats worst kept (2.0)
+        assert not tracker.is_improvement(2.5)
+        assert not tracker.is_improvement(2.0)   # ties don't improve
+    else:
+        assert tracker.is_improvement(1.5)       # beats worst kept (1.0)
+        assert not tracker.is_improvement(0.5)
+        assert not tracker.is_improvement(1.0)
+
+
+def test_checkpoint_tracker_keeps_latest(tmp_path):
+    """The most recent checkpoint survives even when outside top-k (resume
+    parity with Lightning save_last)."""
+    tracker = CheckpointTracker(str(tmp_path), mode="min", save_top_k=1)
+    state = _make_state()
+    tracker.update(0.1, step=0, state=state)
+    tracker.update(0.5, step=1, state=state)   # worse but latest -> kept
+    assert _ckpt_steps(tmp_path / "ckpt") == [0, 1]
+    tracker.update(0.4, step=2, state=state)   # step 1 now neither best nor latest
+    assert _ckpt_steps(tmp_path / "ckpt") == [0, 2]
+
+
+def test_fit_max_steps_runs_final_validation(tmp_path):
+    """Hitting max_steps mid-epoch must still validate + checkpoint (round-2
+    verdict: a step-capped run ended with no top-k checkpoint)."""
+    state = _make_state()
+    calls = []
+
+    def train_step(state, rng, x):
+        def loss_fn(p):
+            return jnp.mean((x @ p["w"] + p["b"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"train/loss": loss}
+
+    def batches(epoch):
+        rng = np.random.RandomState(epoch)
+        for _ in range(10):
+            yield jnp.asarray(rng.randn(4, 2).astype(np.float32))
+
+    def val_fn(state):
+        calls.append(int(state.step))
+        return {"val/loss": float(jnp.sum(jnp.abs(state.params["w"])))}
+
+    out = fit(
+        state=state,
+        train_step=jax.jit(train_step),
+        train_batches_fn=batches,
+        make_batch_args=lambda b: (b,),
+        max_epochs=100,
+        save_dir=str(tmp_path),
+        rng=jax.random.PRNGKey(0),
+        val_fn=val_fn,
+        check_val_every_n_epoch=7,  # would never trigger before max_steps
+        monitor="val/loss",
+        max_steps=3,
+    )
+    assert int(out.step) == 3
+    assert calls == [3]  # exactly one validation, at the truncation point
+    assert _ckpt_steps(tmp_path / "ckpt") == [3]
+
+
 def test_early_stopper():
     es = EarlyStopper(patience=2, mode="min", enabled=True)
     assert not es.should_stop(1.0)

@@ -115,6 +115,35 @@ def test_diffusion_train_step_sharded(tiny_setup):
     assert np.isfinite(float(metrics["val/loss"]))
 
 
+def test_track_grad_norm_per_module(tiny_setup):
+    """track_grad_norm logs one norm per top-level UNet module + logvar, and
+    their square-sum matches the global norm (ref track_grad_norm=2)."""
+    from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    trainer = DiffusionTrainer(
+        tiny_setup["ld"], tiny_setup["vae_params"],
+        optim_config=dict(lr=1e-3, total_num_steps=10),
+        track_grad_norm=True,
+    )
+    state = trainer.create_state(tiny_setup["unet_params"])
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        2, tiny_setup["OUT_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).rand(
+        2, tiny_setup["IN_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+    _, metrics = trainer.train_step(state, jax.random.PRNGKey(0), x, y)
+    per_module = {k: float(v) for k, v in metrics.items()
+                  if k.startswith("grad_norm/")}
+    expected_keys = {f"grad_norm/unet.{n}" for n in tiny_setup["unet_params"]}
+    expected_keys.add("grad_norm/logvar")  # learn_logvar=True in the fixture
+    assert set(per_module) == expected_keys
+    total = float(metrics["grad_norm"])
+    assert np.sqrt(sum(v**2 for v in per_module.values())) == pytest.approx(
+        total, rel=1e-5
+    )
+
+
 def test_alignment_train_step(tiny_setup):
     from prediff_tpu.training.alignment_trainer import AlignmentTrainer
     from prediff_tpu.models.alignment import NoisyCuboidTransformerEncoder
