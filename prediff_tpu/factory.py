@@ -16,22 +16,10 @@ from .diffusion.latent_diffusion import LatentDiffusion
 from .diffusion.knowledge_alignment import KnowledgeAlignment
 
 
-def _resolve_auto(flag) -> bool:
-    """'auto' -> use the fused Pallas path on real TPUs only (CPU interpret
-    mode is for correctness tests, not speed)."""
-    if flag == "auto":
-        return jax.default_backend() == "tpu"
-    return bool(flag)
-
-
-def _resolve_auto_attn(flag):
-    """'auto' -> the v4 whole-layer attention kernel on real TPUs (eligible
-    layers only; others fall back to einsum).  NOTE: never auto-enable for
-    the alignment network — guidance takes jax.grad through it and the
-    kernels define no VJP."""
-    if flag == "auto":
-        return "layer" if jax.default_backend() == "tpu" else False
-    return flag
+# 'auto' pallas flags are passed through to the modules verbatim and resolved
+# at TRACE time (ops/dispatch.py), so the kernel on/off decision tracks the
+# backend the model actually runs under, not the backend at build time
+# (advisor round-2 finding).
 
 
 def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
@@ -68,9 +56,9 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         checkpoint_level=m.checkpoint_level,
         pos_embed_type=m.pos_embed_type,
         use_relative_pos=m.use_relative_pos,
-        use_pallas_attention=_resolve_auto_attn(m.get("use_pallas_attention", "auto")),
-        use_pallas_ffn=_resolve_auto(m.get("use_pallas_ffn", "auto")),
-        use_pallas_gn=_resolve_auto(m.get("use_pallas_gn", "auto")),
+        use_pallas_attention=m.get("use_pallas_attention", "auto"),
+        use_pallas_ffn=m.get("use_pallas_ffn", "auto"),
+        use_pallas_gn=m.get("use_pallas_gn", "auto"),
         self_attn_use_final_proj=m.self_attn_use_final_proj,
         attn_linear_init_mode=m.get("attn_linear_init_mode", "0"),
         ffn_linear_init_mode=m.get("ffn_linear_init_mode", "0"),
@@ -126,7 +114,11 @@ def build_alignment_model(cfg: ConfigDict) -> NoisyCuboidTransformerEncoder:
         padding_type=a.padding_type,
         checkpoint_level=a.checkpoint_level,
         use_relative_pos=a.use_relative_pos,
-        use_pallas_attention=a.get("use_pallas_attention", False),
+        # the fused kernels carry a custom_vjp since round-3, so guidance
+        # (jax.grad through this network) works with them on — default 'auto'
+        use_pallas_attention=a.get("use_pallas_attention", "auto"),
+        use_pallas_ffn=a.get("use_pallas_ffn", "auto"),
+        use_pallas_gn=a.get("use_pallas_gn", "auto"),
         self_attn_use_final_proj=a.self_attn_use_final_proj,
         attn_linear_init_mode=a.get("attn_linear_init_mode", "0"),
         ffn_linear_init_mode=a.get("ffn_linear_init_mode", "0"),

@@ -95,7 +95,9 @@ class NoisyCuboidTransformerEncoder(nn.Module):
     padding_type: str = "zeros"
     checkpoint_level: int = 0
     use_relative_pos: bool = True
-    use_pallas_attention: bool = False
+    use_pallas_attention: Union[bool, str] = False
+    use_pallas_ffn: Union[bool, str] = False
+    use_pallas_gn: Union[bool, str] = False
     self_attn_use_final_proj: bool = True
     num_global_vectors: int = 0
     use_global_vector_ffn: bool = True
@@ -160,6 +162,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
             out_channels=self.base_units,
             use_conv=False,
             use_embed=False,
+            use_pallas=self.use_pallas_gn,
             name="first_proj",
         )(x, deterministic=deterministic)
 
@@ -215,6 +218,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
                 use_conv=False,
                 use_embed=True,
                 use_scale_shift_norm=self.time_embed_use_scale_shift_norm,
+                use_pallas=self.use_pallas_gn,
                 name=f"down_time_embed_blocks_{i}",
             )
             for j in range(self.depth[i]):
@@ -240,6 +244,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
                     checkpoint_level=self.checkpoint_level,
                     use_relative_pos=self.use_relative_pos,
                     use_pallas_attention=self.use_pallas_attention,
+                    use_pallas_ffn=self.use_pallas_ffn,
                     use_final_proj=self.self_attn_use_final_proj,
                     attn_linear_init_mode=self.attn_linear_init_mode,
                     ffn_linear_init_mode=self.ffn_linear_init_mode,

@@ -101,11 +101,16 @@ class CuboidSelfAttentionLayer(nn.Module):
 
     def _try_fused_layer(self, x, deterministic: bool):
         """Route through the whole-layer Pallas kernel when the configuration
-        permits (no globals/mask/pad/shift, inference dropout); returns None
-        to fall back."""
+        permits (no globals/mask/pad/shift); returns None to fall back.
+
+        Differentiable (round-3): the ``*_diff`` kernels carry a custom_vjp
+        (fused Pallas dx kernel + XLA-recomputed param grads), serving the
+        train path and guidance gradients — EXCEPT when this layer's dropout
+        is active (rate > 0 and not deterministic), where flax Dropout
+        semantics require the XLA path."""
         if self.use_global_vector or self.qkv_bias or not self.use_final_proj:
             return None
-        if not deterministic:  # train path: XLA ops (autodiff + dropout + remat)
+        if not deterministic and (self.attn_drop > 0.0 or self.proj_drop > 0.0):
             return None
         B, T, H, W, C = x.shape
         cuboid_size, shift_size = update_cuboid_size_shift_size(
@@ -123,8 +128,8 @@ class CuboidSelfAttentionLayer(nn.Module):
             return None
 
         from ..ops.pallas_attention import (
-            fused_cuboid_attention_layer_v4,
-            fused_axial_attention_5d,
+            fused_cuboid_attention_layer_v4_diff,
+            fused_axial_attention_5d_diff,
             axial_attention_plan,
             pick_cuboid_group,
         )
@@ -138,11 +143,14 @@ class CuboidSelfAttentionLayer(nn.Module):
             for ax in range(3):
                 if (cuboid_size[ax] == (T, H, W)[ax]
                         and all(cuboid_size[o] == 1 for o in range(3) if o != ax)):
-                    if axial_attention_plan(x.shape, ax) is not None:
+                    if axial_attention_plan(x.shape, ax,
+                                            num_heads=self.num_heads) is not None:
                         axial_axis = ax
                     break
         if axial_axis is None and (
-            self.dim % 128 != 0 or pick_cuboid_group(num_cuboids, vol) is None
+            self.dim % 128 != 0
+            or pick_cuboid_group(num_cuboids, vol, C=self.dim,
+                                 num_heads=self.num_heads) is None
         ):
             return None
         (ln_scale, ln_bias) = _ParamHolder(
@@ -165,15 +173,17 @@ class CuboidSelfAttentionLayer(nn.Module):
             bias = jnp.zeros((self.num_heads, vol, vol), x.dtype)
         scale = self.qk_scale or (C // self.num_heads) ** -0.5
         interpret = jax.default_backend() != "tpu"
+        # nondiff args (num_heads .. interpret) passed positionally:
+        # jax.custom_vjp nondiff_argnums are positional-only
         if axial_axis is not None:
-            return fused_axial_attention_5d(
+            return fused_axial_attention_5d_diff(
                 x, axial_axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-                num_heads=self.num_heads, scale=scale, interpret=interpret,
+                self.num_heads, scale, 1e-5, "bfloat16", interpret,
             )
         reordered = cuboid_reorder(x, cuboid_size=cuboid_size, strategy=self.strategy)
-        out = fused_cuboid_attention_layer_v4(
+        out = fused_cuboid_attention_layer_v4_diff(
             reordered, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-            num_heads=self.num_heads, scale=scale, interpret=interpret,
+            self.num_heads, scale, 1e-5, "bfloat16", interpret,
         )
         return cuboid_reorder_reverse(
             out, cuboid_size=cuboid_size, strategy=self.strategy,
@@ -182,17 +192,22 @@ class CuboidSelfAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, global_vectors=None, deterministic: bool = True):
+        from ..ops.dispatch import resolve_auto_attn
+
         assert self.padding_type in ("ignore", "zeros", "nearest")
         assert self.dim % self.num_heads == 0
         if self.global_dim_ratio != 1:
             assert self.separate_global_qkv, \
                 "global_dim_ratio != 1 requires separate_global_qkv=True"
+        # 'auto' resolves HERE (trace time), not at build time, so the kernel
+        # decision tracks the backend the model actually runs under
+        use_pallas_attention = resolve_auto_attn(self.use_pallas_attention)
         head_C = self.dim // self.num_heads
         scale = self.qk_scale or head_C**-0.5
         gC = self.global_dim_ratio * self.dim
 
-        # ---- whole-layer Pallas fusion (v3) fast path ------------------- #
-        if self.use_pallas_attention == "layer":
+        # ---- whole-layer Pallas fusion fast path ------------------------ #
+        if use_pallas_attention == "layer":
             fused = self._try_fused_layer(x, deterministic)
             if fused is not None:
                 return fused
@@ -238,13 +253,19 @@ class CuboidSelfAttentionLayer(nn.Module):
         bias = self._rel_bias(cuboid_volume) if self.use_relative_pos else None
 
         if (
-            self.use_pallas_attention
+            # True = grouped-scores kernel; "layer" layers that failed the
+            # whole-layer eligibility gate above INTENTIONALLY downgrade to
+            # the grouped kernel here rather than all the way to einsum
+            use_pallas_attention in (True, "layer")
             and not self.use_global_vector
-            and deterministic  # train path: XLA ops (autodiff + dropout)
+            # the diff variant's custom_vjp serves training and guidance;
+            # active attention dropout (rate>0, train) keeps the einsum path
+            # (the kernel skips weight dropout)
+            and (deterministic or self.attn_drop == 0.0)
         ):
             # fused Pallas path: groups of cuboids batched per grid cell so the
             # tiny per-cuboid matmuls fill the MXU
-            from ..ops.pallas_attention import fused_cuboid_attention_grouped
+            from ..ops.pallas_attention import fused_cuboid_attention_grouped_diff
 
             qp = q.transpose(0, 3, 1, 2, 4)  # (B, H, nC, vol, hc)
             kp = k.transpose(0, 3, 1, 2, 4)
@@ -253,9 +274,9 @@ class CuboidSelfAttentionLayer(nn.Module):
                 bias if bias is not None
                 else jnp.zeros((self.num_heads, cuboid_volume, cuboid_volume), q.dtype)
             )
-            out = fused_cuboid_attention_grouped(
-                qp, kp, vp, bias_p, mask=attn_mask, scale=scale,
-                interpret=jax.default_backend() != "tpu",
+            out = fused_cuboid_attention_grouped_diff(
+                qp, kp, vp, bias_p, attn_mask, scale, 8,
+                jax.default_backend() != "tpu",
             )
             reordered_x = out.transpose(0, 2, 3, 1, 4).reshape(
                 B, num_cuboids, cuboid_volume, self.dim
@@ -445,8 +466,8 @@ class StackCuboidSelfAttentionBlock(nn.Module):
     separate_global_qkv: bool = False
     global_dim_ratio: int = 1
     use_relative_pos: bool = True
-    use_pallas_attention: bool = False
-    use_pallas_ffn: bool = False
+    use_pallas_attention: Union[bool, str] = False
+    use_pallas_ffn: Union[bool, str] = False
     use_final_proj: bool = True
     checkpoint_level: int = 0
     attn_linear_init_mode: str = "0"

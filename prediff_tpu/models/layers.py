@@ -14,7 +14,7 @@ merged, e.g. torch ``layer.0`` -> flax ``layer_0``) so checkpoint conversion
 is mechanical (see prediff_tpu/utils/convert.py).
 """
 import math
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -124,21 +124,31 @@ class PositionwiseFFN(nn.Module):
     normalization: str = "layer_norm"
     layer_norm_eps: float = 1e-5
     pre_norm: bool = False
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False
     linear_init_mode: str = "0"
     ffn2_linear_init_mode: str = "2"
 
     def _try_fused(self, data: jnp.ndarray, deterministic: bool):
         """Whole-FFN Pallas kernel (LN+ffn_1+act+ffn_2+residual in one op) for
-        the deterministic pre-norm non-gated case; returns None to fall back.
-        Inference-only: the kernel defines no VJP (training uses the XLA path,
-        where the op sequence is autodiff-friendly and remat-scheduled)."""
-        from ..ops import pallas_ffn
+        the pre-norm non-gated case; returns None to fall back.
 
-        if not (self.use_pallas and self.pre_norm and not self.gated_proj):
+        Differentiable (round-3): ``fused_ffn_diff`` carries a custom_vjp
+        (fused Pallas dx kernel + XLA-recomputed param grads), so the kernel
+        also serves the train path and guidance gradients — EXCEPT when this
+        module's dropout is active (rate > 0 and not deterministic): the
+        kernel computes the deterministic function, so dropout training keeps
+        the XLA path."""
+        from ..ops import pallas_ffn
+        from ..ops.dispatch import resolve_auto
+
+        # 'auto' resolves at trace time (see ops/dispatch.py)
+        if not (resolve_auto(self.use_pallas) and self.pre_norm
+                and not self.gated_proj):
             return None
-        if not deterministic:  # train path: XLA ops (autodiff + dropout + remat)
-            return None
+        if not deterministic and (
+            self.activation_dropout > 0.0 or self.dropout > 0.0
+        ):
+            return None  # active dropout: keep flax Dropout semantics (XLA)
         if self.activation not in pallas_ffn.SUPPORTED_ACTIVATIONS:
             return None
         C = data.shape[-1]
@@ -160,10 +170,11 @@ class PositionwiseFFN(nn.Module):
                     ("bias", (C,), nn.initializers.zeros)),
             name="ffn_2",
         )()
-        out = pallas_ffn.fused_ffn(
+        # nondiff args (eps .. interpret) positional: custom_vjp requirement
+        out = pallas_ffn.fused_ffn_diff(
             data.reshape(tokens, C), ln_scale, ln_bias, w1, b1, w2, b2,
-            eps=self.layer_norm_eps, activation=self.activation,
-            interpret=jax.default_backend() != "tpu",
+            self.layer_norm_eps, self.activation, "bfloat16",
+            jax.default_backend() != "tpu",
         )
         return out.reshape(data.shape)
 
@@ -359,19 +370,21 @@ class TimeEmbedResBlock(nn.Module):
     use_embed: bool = True
     use_scale_shift_norm: bool = False
     norm_groups: int = 32
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False
 
     def _gn_silu(self, x: jnp.ndarray, name: str, groups: int,
                  emb2d: Optional[jnp.ndarray], deterministic: bool) -> jnp.ndarray:
         """silu(GroupNorm(x + emb)) — fused Pallas pair on eligible TPU
-        shapes (inference only: no VJP; the train path keeps XLA ops), else
-        the standard module path.  Identical param tree either way."""
+        shapes (differentiable via custom_vjp since round-3, so it serves the
+        train path and guidance too), else the standard module path.
+        Identical param tree either way."""
         from ..ops import pallas_groupnorm
+        from ..ops.dispatch import resolve_auto
 
         B, T, H, W, C = x.shape
         N = T * H * W
         if (
-            self.use_pallas and deterministic
+            resolve_auto(self.use_pallas)
             and pallas_groupnorm.supports_shape(N, C, groups)
         ):
             (scale, bias) = _ParamHolder(
@@ -379,9 +392,9 @@ class TimeEmbedResBlock(nn.Module):
                         ("bias", (C,), nn.initializers.zeros)),
                 name=name,
             )()
-            out = pallas_groupnorm.fused_groupnorm_silu(
-                x.reshape(B, N, C), scale, bias, emb=emb2d, groups=groups,
-                interpret=jax.default_backend() != "tpu",
+            out = pallas_groupnorm.fused_groupnorm_silu_diff(
+                x.reshape(B, N, C), scale, bias, emb2d, groups,
+                1e-5, True, jax.default_backend() != "tpu",
             )
             return out.reshape(x.shape)
         h = x if emb2d is None else x + emb2d[:, None, None, None, :]

@@ -116,9 +116,9 @@ class CuboidTransformerUNet(nn.Module):
     padding_type: str = "ignore"
     checkpoint_level: int = 0
     use_relative_pos: bool = True
-    use_pallas_attention: bool = False
-    use_pallas_ffn: bool = False
-    use_pallas_gn: bool = False
+    use_pallas_attention: Union[bool, str] = False
+    use_pallas_ffn: Union[bool, str] = False
+    use_pallas_gn: Union[bool, str] = False
     self_attn_use_final_proj: bool = True
     num_global_vectors: int = 0
     use_global_vector_ffn: bool = True

@@ -188,6 +188,51 @@ def fused_cuboid_attention_grouped(
     )(q, k, v, bias, mask)
 
 
+def grouped_attention_reference(q, k, v, bias, mask=None, scale=1.0):
+    """Pure-jnp reference of the grouped kernel's HEAD-MAJOR layout
+    (B, heads, nC, vol, hc); masked_softmax semantics (p * mask)."""
+    s = jnp.einsum("bhnic,bhnjc->bhnij", q * scale, k) + bias[None, :, None]
+    if mask is not None:
+        m = mask[None, None]
+        s = jnp.where(m, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1) * m
+    else:
+        p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnij,bhnjc->bhnic", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_cuboid_attention_grouped_diff(q, k, v, bias, mask, scale=1.0,
+                                        cuboids_per_block=8, interpret=False):
+    """Differentiable grouped-scores kernel (mask may be None): forward = the
+    Pallas kernel, backward = XLA autodiff of the reference (q/k/v/bias grads
+    are ordinary einsums; the fusion win is forward-side)."""
+    return fused_cuboid_attention_grouped(
+        q, k, v, bias, mask=mask, scale=scale,
+        cuboids_per_block=cuboids_per_block, interpret=interpret,
+    )
+
+
+def _grouped_diff_fwd(q, k, v, bias, mask, scale, cuboids_per_block, interpret):
+    out = fused_cuboid_attention_grouped(
+        q, k, v, bias, mask=mask, scale=scale,
+        cuboids_per_block=cuboids_per_block, interpret=interpret,
+    )
+    return out, (q, k, v, bias, mask)
+
+
+def _grouped_diff_bwd(scale, cuboids_per_block, interpret, res, g):
+    q, k, v, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda *a: grouped_attention_reference(*a, mask=mask, scale=scale),
+        q, k, v, bias,
+    )
+    return vjp(g) + (None,)  # bool mask: zero cotangent
+
+
+fused_cuboid_attention_grouped_diff.defvjp(_grouped_diff_fwd, _grouped_diff_bwd)
+
+
 def _fused_layer_kernel(
     x_ref,        # (1, G, vol, C)
     ln_scale_ref,  # (C,)
@@ -372,8 +417,28 @@ def _fused_layer_kernel_v4(
 V4_MAX_ROWS = 256
 
 
-def pick_cuboid_group(nC: int, vol: int, max_rows: Optional[int] = None) -> Optional[int]:
-    """Largest G dividing nC with G*vol <= max_rows and G*vol % 8 == 0."""
+def v4_vmem_bytes(R: int, vol: int, C: int, num_heads: int) -> int:
+    """f32 bytes resident in one v4 grid cell: the (heads, R, R) bias+mask
+    scratch, constant-index-map inputs (weights, rep, maskadd, bias), the
+    token block in/out, and the QKV/attn intermediates."""
+    return 4 * (
+        num_heads * R * R        # VMEM scratch: expanded bias + mask
+        + R * R + R * vol        # maskadd + rep inputs
+        + 4 * C * C              # w_qkv (C,3C) + w_proj (C,C)
+        + num_heads * vol * vol  # rel-pos bias param
+        + 2 * R * C              # x block in / out
+        + 4 * R * C              # qkv + concatenated head outputs
+    )
+
+
+def pick_cuboid_group(nC: int, vol: int, max_rows: Optional[int] = None,
+                      C: Optional[int] = None,
+                      num_heads: Optional[int] = None) -> Optional[int]:
+    """Largest G dividing nC with G*vol <= max_rows, G*vol % 8 == 0 and —
+    when (C, num_heads) are given — a VMEM footprint under budget (advisor
+    round-2: oversized configs must fall back, not fail in Mosaic)."""
+    from .dispatch import VMEM_BUDGET_BYTES
+
     if max_rows is None:
         max_rows = V4_MAX_ROWS
     best = None
@@ -383,6 +448,10 @@ def pick_cuboid_group(nC: int, vol: int, max_rows: Optional[int] = None) -> Opti
         r = g * vol
         if r > max_rows:
             break
+        if C is not None and num_heads is not None and (
+            v4_vmem_bytes(r, vol, C, num_heads) > VMEM_BUDGET_BYTES
+        ):
+            break  # bytes grow monotonically with r
         if r % 8 == 0:
             best = g
     return best
@@ -423,7 +492,7 @@ def fused_cuboid_attention_layer_v4(
     QKV dots -> 1 wide dot, and G-batched tiny score matmuls -> one dense
     MXU matmul per head.  No-mask configurations only (v1 axial)."""
     B, nC, vol, C = x.shape
-    G = pick_cuboid_group(nC, vol)
+    G = pick_cuboid_group(nC, vol, C=C, num_heads=num_heads)
     assert G is not None, "caller must gate with pick_cuboid_group()"
     grid = (B, nC // G)
     kernel = functools.partial(
@@ -468,6 +537,100 @@ def fused_cuboid_attention_layer_v4(
       jnp.asarray(rep_np), jnp.asarray(maskadd_np), w_proj, row(b_proj))
 
 
+def _fused_layer_bwd_dx_kernel_v4(
+    x_ref,         # (1, *dims, C)
+    g_ref,         # (1, *dims, C) output cotangent
+    ln_scale_ref,  # (1, C)
+    ln_bias_ref,   # (1, C)
+    wqkv_ref,      # (C, 3C)
+    bias_ref,      # (heads, vol, vol)
+    rep_ref,       # (R, vol)
+    maskadd_ref,   # (R, R)
+    wproj_ref,     # (C, C)
+    dx_ref,        # (1, *dims, C)
+    bm_ref,        # VMEM scratch (heads, R, R)
+    *, num_heads, scale, eps, mxu_dtype, grid_rank=2,
+):
+    """dL/dx of the v4 whole-layer attention (no residual add inside the
+    kernel, mirroring the forward).  All forward intermediates are recomputed
+    in VMEM (flash-attention-style backward); only x and g stream from HBM."""
+    dims = x_ref.shape[1:-1]
+    C = x_ref.shape[-1]
+    R = int(np.prod(dims))
+    hc = C // num_heads
+    first_cell = pl.program_id(1) == 0
+    for d in range(2, grid_rank):
+        first_cell = jnp.logical_and(first_cell, pl.program_id(d) == 0)
+
+    @pl.when(first_cell)
+    def _():
+        rep = rep_ref[...]
+        for h in range(num_heads):
+            bm_ref[h] = jax.lax.dot(
+                jax.lax.dot(rep, bias_ref[h], preferred_element_type=jnp.float32),
+                rep.T, preferred_element_type=jnp.float32,
+            ) + maskadd_ref[...]
+
+    x = x_ref[0].reshape(R, C).astype(jnp.float32)
+    g = g_ref[0].reshape(R, C).astype(jnp.float32)
+    gamma = ln_scale_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    sigma_inv = jax.lax.rsqrt(var + eps)
+    nhat = (x - mu) * sigma_inv
+    ln = nhat * gamma + ln_bias_ref[0].astype(jnp.float32)
+    qkv = jax.lax.dot(
+        ln.astype(mxu_dtype), wqkv_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    )  # (R, 3C)
+    dattn = jax.lax.dot_general(  # g @ wproj^T
+        g.astype(mxu_dtype), wproj_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dq_cols, dk_cols, dv_cols = [], [], []
+    for h in range(num_heads):
+        qs = qkv[:, h * hc:(h + 1) * hc] * scale
+        k = qkv[:, C + h * hc:C + (h + 1) * hc]
+        v = qkv[:, 2 * C + h * hc:2 * C + (h + 1) * hc]
+        s = jax.lax.dot_general(
+            qs.astype(mxu_dtype), k.astype(mxu_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + bm_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        dOh = dattn[:, h * hc:(h + 1) * hc]
+        dp = jax.lax.dot_general(  # dOh @ v^T
+            dOh.astype(mxu_dtype), v.astype(mxu_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_cols.append(jax.lax.dot(
+            ds.astype(mxu_dtype), k.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dk_cols.append(jax.lax.dot_general(  # ds^T @ qs
+            ds.astype(mxu_dtype), qs.astype(mxu_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+        dv_cols.append(jax.lax.dot_general(  # p^T @ dOh
+            p.astype(mxu_dtype), dOh.astype(mxu_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # (R, 3C)
+    dln = jax.lax.dot_general(  # dqkv @ wqkv^T
+        dqkv.astype(mxu_dtype), wqkv_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dnhat = dln * gamma
+    dx = sigma_inv * (
+        dnhat
+        - jnp.mean(dnhat, axis=-1, keepdims=True)
+        - nhat * jnp.mean(dnhat * nhat, axis=-1, keepdims=True)
+    )
+    dx_ref[0] = dx.reshape(dims + (C,)).astype(dx_ref.dtype)
+
+
 def _largest_divisor(n: int, cap: int, align_with: int = 1) -> Optional[int]:
     """Largest d | n with d*align_with <= cap and (d*align_with) % 8 == 0."""
     best = None
@@ -482,10 +645,11 @@ def _largest_divisor(n: int, cap: int, align_with: int = 1) -> Optional[int]:
     return best
 
 
-def axial_attention_plan(shape, axis: int):
+def axial_attention_plan(shape, axis: int, num_heads: Optional[int] = None):
     """Grid/block/rep/mask plan for a single-axis ('axial') cuboid attention
     applied DIRECTLY to the natural (B, T, H, W, C) layout — no
-    cuboid_reorder transpose.  Returns None when no aligned tiling exists.
+    cuboid_reorder transpose.  Returns None when no aligned tiling exists
+    (or, when ``num_heads`` is given, when the VMEM footprint is over budget).
 
     Every block contains only whole cuboids; rep[r, pos(r)] = 1 encodes each
     flattened row's position within its cuboid, and maskadd kills
@@ -531,6 +695,12 @@ def axial_attention_plan(shape, axis: int):
         vol = W
     else:
         return None
+    from .dispatch import VMEM_BUDGET_BYTES
+
+    if num_heads is not None and (
+        v4_vmem_bytes(R, vol, C, num_heads) > VMEM_BUDGET_BYTES
+    ):
+        return None  # fall back (reorder+v4 with smaller G, or einsum)
     rep = np.zeros((R, vol), np.float32)
     rep[np.arange(R), pos] = 1.0
     maskadd = np.where(same, 0.0, NEG_INF).astype(np.float32)
@@ -560,7 +730,7 @@ def fused_axial_attention_5d(
     """v4 whole-layer attention on the NATIVE (B,T,H,W,C) layout for axial
     patterns — the cuboid reorder/reverse transposes (a real HBM copy for
     the T- and H-axis patterns) disappear into BlockSpec index maps."""
-    plan = axial_attention_plan(x.shape, axis)
+    plan = axial_attention_plan(x.shape, axis, num_heads=num_heads)
     assert plan is not None, "caller must gate with axial_attention_plan()"
     B, T, H, W, C = x.shape
     x_in = x.reshape(B, T * H, W, C) if axis == 2 else x
@@ -604,6 +774,273 @@ def fused_axial_attention_5d(
       jnp.asarray(plan["rep"]), jnp.asarray(plan["maskadd"]),
       w_proj, row(b_proj))
     return out.reshape(B, T, H, W, C) if axis == 2 else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "mxu_dtype_name",
+                              "interpret")
+)
+def fused_cuboid_attention_layer_v4_bwd_dx(
+    x: jnp.ndarray,          # (B, nC, vol, C) reordered cuboids
+    g: jnp.ndarray,          # (B, nC, vol, C) output cotangent
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    mxu_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, nC, vol, C = x.shape
+    G = pick_cuboid_group(nC, vol, C=C, num_heads=num_heads)
+    assert G is not None, "caller must gate with pick_cuboid_group()"
+    grid = (B, nC // G)
+    kernel = functools.partial(
+        _fused_layer_bwd_dx_kernel_v4, num_heads=num_heads, scale=scale,
+        eps=eps, mxu_dtype=jnp.dtype(mxu_dtype_name),
+    )
+    R = G * vol
+    rep_np = np.zeros((R, vol), np.float32)
+    rep_np[np.arange(R), np.arange(R) % vol] = 1.0
+    blockdiag = np.kron(np.eye(G, dtype=bool), np.ones((vol, vol), bool))
+    maskadd_np = np.where(blockdiag, 0.0, NEG_INF).astype(np.float32)
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    tile = pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tile, tile,
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((C, 3 * C), lambda b, n: (0, 0)),
+            pl.BlockSpec((num_heads, vol, vol), lambda b, n: (0, 0, 0)),
+            pl.BlockSpec((R, vol), lambda b, n: (0, 0)),
+            pl.BlockSpec((R, R), lambda b, n: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, n: (0, 0)),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((num_heads, R, R), jnp.float32)] if _HAS_PLTPU else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * B * nC * vol * C * 4 * C
+                       + 2 * 2 * B * (nC // G) * num_heads * R * R
+                       * (C // num_heads)),
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + (w_qkv.size + w_proj.size) * 4,
+            transcendentals=B * (nC // G) * num_heads * R * R,
+        ),
+        interpret=interpret,
+    )(x, g, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
+      jnp.asarray(rep_np), jnp.asarray(maskadd_np), w_proj)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "num_heads", "scale", "eps",
+                              "mxu_dtype_name", "interpret")
+)
+def fused_axial_attention_5d_bwd_dx(
+    x: jnp.ndarray,          # (B, T, H, W, C) natural layout
+    g: jnp.ndarray,
+    axis: int,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    mxu_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    plan = axial_attention_plan(x.shape, axis, num_heads=num_heads)
+    assert plan is not None, "caller must gate with axial_attention_plan()"
+    B, T, H, W, C = x.shape
+    x_in = x.reshape(B, T * H, W, C) if axis == 2 else x
+    g_in = g.reshape(B, T * H, W, C) if axis == 2 else g
+    grid = (B,) + plan["grid_tail"]
+    kernel = functools.partial(
+        _fused_layer_bwd_dx_kernel_v4, num_heads=num_heads, scale=scale,
+        eps=eps, mxu_dtype=jnp.dtype(mxu_dtype_name), grid_rank=len(grid),
+    )
+    vol, R = plan["vol"], plan["R"]
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda *idx, _n=len(shape): (0,) * _n)
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    tile = pl.BlockSpec(plan["block"], plan["index_map"])
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tile, tile,
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)),
+            const((num_heads, vol, vol)),
+            const((R, vol)),
+            const((R, R)),
+            const((C, C)),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(x_in.shape, x.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((num_heads, R, R), jnp.float32)] if _HAS_PLTPU else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * B * T * H * W * C * 4 * C
+                       + 2 * 2 * B * int(np.prod(plan["grid_tail"]))
+                       * num_heads * R * R * (C // num_heads)),
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + (w_qkv.size + w_proj.size) * 4,
+            transcendentals=B * int(np.prod(plan["grid_tail"])) * num_heads * R * R,
+        ),
+        interpret=interpret,
+    )(x_in, g_in, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
+      jnp.asarray(plan["rep"]), jnp.asarray(plan["maskadd"]),
+      w_proj)
+    return out.reshape(B, T, H, W, C) if axis == 2 else out
+
+
+def cuboid_layer_attention_reference(x, ln_scale, ln_bias, w_qkv, bias,
+                                     w_proj, b_proj, num_heads, scale,
+                                     eps=1e-5):
+    """Pure-jnp f32 reference of the whole-layer kernel semantics on
+    (B, nC, vol, C) reordered cuboids: LN + QKV + per-cuboid softmax(qk+bias)v
+    + out-proj, NO residual (matches the kernels; used for tests and for the
+    XLA-recomputed parameter grads in the custom_vjp backward)."""
+    B, nC, vol, C = x.shape
+    hc = C // num_heads
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    qkv = (ln @ w_qkv).reshape(B, nC, vol, 3, num_heads, hc)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    s = jnp.einsum("bnihc,bnjhc->bnhij", q * scale, k) + bias[None, None]
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bnhij,bnjhc->bnihc", p, v).reshape(B, nC, vol, C)
+    return (out @ w_proj + b_proj).astype(x.dtype)
+
+
+_AXIAL_CUBOID_SIZE = {
+    0: lambda T, H, W: (T, 1, 1),
+    1: lambda T, H, W: (1, H, 1),
+    2: lambda T, H, W: (1, 1, W),
+}
+
+
+def _axial_param_grads(x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj,
+                       num_heads, scale, eps):
+    """XLA-recomputed (dγ, dβ, dWqkv, dbias, dWproj) for the axial kernel:
+    reorder to cuboid-major (differentiable XLA transpose) and reuse the
+    cuboid reference.  DCE'd when only dx is consumed (guidance)."""
+    from .cuboid import cuboid_reorder, cuboid_reorder_reverse
+
+    B, T, H, W, C = x.shape
+    cs = _AXIAL_CUBOID_SIZE[axis](T, H, W)
+    xr = cuboid_reorder(x, cuboid_size=cs, strategy=("l", "l", "l"))
+    gr = cuboid_reorder(g, cuboid_size=cs, strategy=("l", "l", "l"))
+    _, vjp = jax.vjp(
+        lambda gam, bet, wq, bi, wp: cuboid_layer_attention_reference(
+            xr, gam, bet, wq, bi, wp, jnp.zeros((C,), x.dtype), num_heads,
+            scale, eps=eps,
+        ),
+        ln_scale, ln_bias, w_qkv, bias, w_proj,
+    )
+    return vjp(gr)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def fused_cuboid_attention_layer_v4_diff(
+    x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+    num_heads, scale, eps=1e-5, mxu_dtype_name="bfloat16", interpret=False,
+):
+    """Differentiable v4 whole-layer attention (round-3): forward = the v4
+    kernel; backward = fused Pallas dx kernel + XLA-recomputed param grads
+    (DCE'd under input-only differentiation, e.g. alignment guidance)."""
+    return fused_cuboid_attention_layer_v4(
+        x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
+        eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
+    )
+
+
+def _v4_diff_fwd(x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+                 num_heads, scale, eps, mxu_dtype_name, interpret):
+    out = fused_cuboid_attention_layer_v4(
+        x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
+        eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
+    )
+    return out, (x, ln_scale, ln_bias, w_qkv, bias, w_proj)
+
+
+def _v4_diff_bwd(num_heads, scale, eps, mxu_dtype_name, interpret, res, g):
+    x, ln_scale, ln_bias, w_qkv, bias, w_proj = res
+    dx = fused_cuboid_attention_layer_v4_bwd_dx(
+        x, g, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads, scale,
+        eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
+    )
+    C = x.shape[-1]
+    _, vjp = jax.vjp(
+        lambda gam, bet, wq, bi, wp: cuboid_layer_attention_reference(
+            x, gam, bet, wq, bi, wp, jnp.zeros((C,), x.dtype), num_heads,
+            scale, eps=eps,
+        ),
+        ln_scale, ln_bias, w_qkv, bias, w_proj,
+    )
+    d_gamma, d_beta, dwqkv, dbias, dwproj = vjp(g)
+    db_proj = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(ln_scale.dtype)
+    return dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj
+
+
+fused_cuboid_attention_layer_v4_diff.defvjp(_v4_diff_fwd, _v4_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 8, 9, 10, 11, 12))
+def fused_axial_attention_5d_diff(
+    x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+    num_heads, scale, eps=1e-5, mxu_dtype_name="bfloat16", interpret=False,
+):
+    """Differentiable natural-layout axial whole-layer attention."""
+    return fused_axial_attention_5d(
+        x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+        num_heads, scale, eps=eps, mxu_dtype_name=mxu_dtype_name,
+        interpret=interpret,
+    )
+
+
+def _axial_diff_fwd(x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+                    num_heads, scale, eps, mxu_dtype_name, interpret):
+    out = fused_axial_attention_5d(
+        x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+        num_heads, scale, eps=eps, mxu_dtype_name=mxu_dtype_name,
+        interpret=interpret,
+    )
+    return out, (x, ln_scale, ln_bias, w_qkv, bias, w_proj)
+
+
+def _axial_diff_bwd(axis, num_heads, scale, eps, mxu_dtype_name, interpret,
+                    res, g):
+    x, ln_scale, ln_bias, w_qkv, bias, w_proj = res
+    dx = fused_axial_attention_5d_bwd_dx(
+        x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads, scale,
+        eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
+    )
+    d_gamma, d_beta, dwqkv, dbias, dwproj = _axial_param_grads(
+        x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads, scale,
+        eps,
+    )
+    db_proj = jnp.sum(
+        g.astype(jnp.float32), axis=(0, 1, 2, 3)
+    ).astype(ln_scale.dtype)
+    return dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj
+
+
+fused_axial_attention_5d_diff.defvjp(_axial_diff_fwd, _axial_diff_bwd)
 
 
 def cuboid_attention_reference(q, k, v, bias, mask=None, scale=1.0):

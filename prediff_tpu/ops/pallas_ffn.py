@@ -62,6 +62,24 @@ def _apply_activation(h, activation: str):
 
 SUPPORTED_ACTIVATIONS = ("gelu", "relu", "leaky", "silu")
 
+_INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _apply_activation_grad(h, activation: str):
+    """d act(h) / dh, matching :func:`_apply_activation` exactly."""
+    if activation == "gelu":
+        cdf = 0.5 * (1.0 + _erf(h * _SQRT_HALF))
+        pdf = jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+        return cdf + h * pdf
+    if activation == "relu":
+        return (h > 0.0).astype(h.dtype)
+    if activation == "leaky":
+        return jnp.where(h >= 0.0, 1.0, 0.1)
+    if activation == "silu":
+        s = jax.nn.sigmoid(h)
+        return s * (1.0 + h * (1.0 - s))
+    raise NotImplementedError(f"fused FFN activation '{activation}'")
+
 
 def _ffn_kernel(
     x_ref,        # (TM, C)
@@ -160,12 +178,204 @@ def fused_ffn(
     )(x, row(ln_scale), row(ln_bias), w1, row(b1), w2, row(b2))
 
 
-def supports_shape(tokens: int, C: int, hidden: int) -> bool:
-    return (
-        C % 128 == 0
-        and hidden % 128 == 0
-        and pick_token_tile(tokens, hidden) is not None
+def ffn_vmem_bytes(tm: int, C: int, hidden: int) -> int:
+    """f32 bytes resident in one grid cell: both weight matrices (constant
+    index maps keep them in VMEM), vectors, the token tile in/out, and the
+    hidden activation."""
+    return 4 * (
+        2 * C * hidden          # w1 + w2
+        + hidden + 3 * C        # b1, ln_scale/bias, b2
+        + tm * (2 * C + hidden)  # x tile, out tile, hidden activation
     )
+
+
+def supports_shape(tokens: int, C: int, hidden: int) -> bool:
+    from .dispatch import VMEM_BUDGET_BYTES
+
+    if C % 128 != 0 or hidden % 128 != 0:
+        return False
+    tm = pick_token_tile(tokens, hidden)
+    # budget gate (advisor round-2): a config whose resident weights overflow
+    # VMEM must fall back to XLA instead of failing at Mosaic compile time
+    return tm is not None and ffn_vmem_bytes(tm, C, hidden) <= VMEM_BUDGET_BYTES
+
+
+def _ffn_bwd_dx_kernel(
+    x_ref,        # (TM, C)
+    g_ref,        # (TM, C) output cotangent
+    ln_scale_ref,  # (1, C)
+    ln_bias_ref,   # (1, C)
+    w1_ref,        # (C, Hdim)
+    b1_ref,        # (1, Hdim)
+    w2_ref,        # (Hdim, C)
+    dx_ref,        # (TM, C)
+    *, eps, activation, mxu_dtype,
+):
+    """dL/dx of y = x + ffn2(act(ffn1(LN(x)))) — flash-style: the forward
+    intermediates are recomputed in VMEM from x, nothing is saved to HBM."""
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    gamma = ln_scale_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    sigma_inv = jax.lax.rsqrt(var + eps)
+    nhat = (x - mu) * sigma_inv
+    ln = nhat * gamma + ln_bias_ref[0].astype(jnp.float32)
+    h = jax.lax.dot(
+        ln.astype(mxu_dtype), w1_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    da = jax.lax.dot_general(  # g @ w2^T
+        g.astype(mxu_dtype), w2_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dh = da * _apply_activation_grad(h, activation)
+    dln = jax.lax.dot_general(  # dh @ w1^T
+        dh.astype(mxu_dtype), w1_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dnhat = dln * gamma
+    dx_ln = sigma_inv * (
+        dnhat
+        - jnp.mean(dnhat, axis=-1, keepdims=True)
+        - nhat * jnp.mean(dnhat * nhat, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "mxu_dtype_name", "interpret"),
+)
+def fused_ffn_bwd_dx(
+    x: jnp.ndarray,          # (tokens, C)
+    g: jnp.ndarray,          # (tokens, C)
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    eps: float = 1e-5,
+    activation: str = "gelu",
+    mxu_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    tokens, C = x.shape
+    hidden = w1.shape[1]
+    # much smaller tile than the forward: the backward keeps ~5 (tm, hidden)
+    # f32 temporaries live at once (h, act', da, dh + bf16 staging); Mosaic's
+    # scoped-vmem stack is 16 MB (measured OOM at the 2 MB tile budget)
+    tm = pick_token_tile(tokens, hidden, max_bytes=1024 * 1024)
+    assert tm is not None and C % 128 == 0 and hidden % 128 == 0, (
+        "caller must gate with supports_shape()/supports_bwd_shape()"
+    )
+    grid = (tokens // tm,)
+    kernel = functools.partial(
+        _ffn_bwd_dx_kernel, eps=eps, activation=activation,
+        mxu_dtype=jnp.dtype(mxu_dtype_name),
+    )
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    tile = pl.BlockSpec((tm, C), lambda i: (i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tile, tile,
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((hidden, C)),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * tokens * C * hidden,
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + (w1.size + w2.size) * w1.dtype.itemsize,
+            transcendentals=tokens * hidden,
+        ),
+        interpret=interpret,
+    )(x, g, row(ln_scale), row(ln_bias), w1, row(b1), w2)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
+)
+def fused_ffn_diff(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                   eps=1e-5, activation="gelu", mxu_dtype_name="bfloat16",
+                   interpret=False):
+    """Differentiable fused FFN (round-3): forward = the fused Pallas kernel;
+    backward = fused Pallas dx kernel + XLA-recomputed parameter grads.
+
+    The parameter grads come from ``jax.vjp`` of the jnp reference — when the
+    caller only differentiates wrt x (knowledge-alignment guidance,
+    ref alignment_pl.py:423 re-enters autograd for d(energy)/dz only), XLA's
+    DCE deletes that whole recompute subgraph and the backward is one fused
+    kernel."""
+    return fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps,
+                     activation=activation, mxu_dtype_name=mxu_dtype_name,
+                     interpret=interpret)
+
+
+def _fused_ffn_diff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                        eps, activation, mxu_dtype_name, interpret):
+    out = fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps,
+                    activation=activation, mxu_dtype_name=mxu_dtype_name,
+                    interpret=interpret)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2)
+
+
+def supports_bwd_shape(tokens: int, C: int, hidden: int) -> bool:
+    """Gate for the Pallas dx-backward: both resident weights PLUS ~5
+    live (tm, hidden) and ~7 (tm, C) f32 temporaries must fit the scoped
+    VMEM budget (Mosaic stack, measured)."""
+    from .dispatch import VMEM_BUDGET_BYTES
+
+    tm = pick_token_tile(tokens, hidden, max_bytes=1024 * 1024)
+    if tm is None:
+        return False
+    bytes_ = 4 * (
+        2 * C * hidden             # w1 + w2 resident
+        + hidden + 3 * C
+        + tm * (7 * C + 5 * hidden)  # live tile temporaries (see bwd kernel)
+    )
+    return bytes_ <= VMEM_BUDGET_BYTES
+
+
+def _fused_ffn_diff_bwd(eps, activation, mxu_dtype_name, interpret, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2 = res
+    if supports_bwd_shape(x.shape[0], x.shape[1], w1.shape[1]):
+        dx = fused_ffn_bwd_dx(
+            x, g, ln_scale, ln_bias, w1, b1, w2, eps=eps,
+            activation=activation, mxu_dtype_name=mxu_dtype_name,
+            interpret=interpret,
+        )
+    else:
+        # dx via XLA recompute when the fused backward would overflow VMEM
+        _, vjp_x = jax.vjp(
+            lambda xx: fused_ffn_reference(
+                xx, ln_scale, ln_bias, w1, b1, w2,
+                jnp.zeros((w2.shape[1],), x.dtype),
+                eps=eps, activation=activation,
+            ),
+            x,
+        )
+        (dx,) = vjp_x(g)
+    # parameter grads: XLA recompute (DCE'd entirely under input-only grads);
+    # b2 is an additive constant so its value is irrelevant to any gradient
+    _, vjp = jax.vjp(
+        lambda gam, bet, a1, c1, a2: fused_ffn_reference(
+            x, gam, bet, a1, c1, a2, jnp.zeros((w2.shape[1],), x.dtype),
+            eps=eps, activation=activation,
+        ),
+        ln_scale, ln_bias, w1, b1, w2,
+    )
+    d_gamma, d_beta, dw1, db1, dw2 = vjp(g)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=0).astype(ln_scale.dtype)
+    return dx, d_gamma, d_beta, dw1, db1, dw2, db2
+
+
+fused_ffn_diff.defvjp(_fused_ffn_diff_fwd, _fused_ffn_diff_bwd)
 
 
 def fused_ffn_reference(x, ln_scale, ln_bias, w1, b1, w2, b2,

@@ -34,27 +34,48 @@ def _group_matrix(C: int, groups: int, gp: int) -> np.ndarray:
     return m
 
 
-def _stats_kernel(x_ref, emb_ref, gmat_ref, o_ref, *, has_emb):
+def _stats_kernel(x_ref, emb_ref, gmat_ref, o_ref, *, has_emb, inv_tile_count):
+    """Accumulates per-group stats SHIFTED by the first tile's group means:
+    sums of (x - s) and (x - s)^2 with s fixed per (sample, group).  The naive
+    single-pass E[x^2] - E[x]^2 cancels mantissa bits when |mean| >> std
+    (advisor round-2); variance of the shifted values is identical but
+    catastrophic cancellation is gone.  Output rows: [shifted sum, shifted
+    sum-of-squares, shift]."""
     i = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
     if has_emb:
         x = x + emb_ref[0].astype(jnp.float32)
-    cs = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
-    cs2 = jnp.sum(x * x, axis=0, keepdims=True)
     gm = gmat_ref[...]
+    cs = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
+
+    @pl.when(i == 0)
+    def _():
+        # shift = tile-0 group mean; stays resident in the output block
+        o_ref[0, 2:3] = jax.lax.dot(
+            cs, gm, preferred_element_type=jnp.float32
+        ) * inv_tile_count
+
+    shift_g = o_ref[0, 2:3]                          # (1, gp)
+    shift_c = jax.lax.dot_general(                   # expand to channels
+        shift_g, gm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, C)
+    xs = x - shift_c
     part = jnp.concatenate(
-        [jax.lax.dot(cs, gm, preferred_element_type=jnp.float32),
-         jax.lax.dot(cs2, gm, preferred_element_type=jnp.float32)],
+        [jax.lax.dot(jnp.sum(xs, axis=0, keepdims=True), gm,
+                     preferred_element_type=jnp.float32),
+         jax.lax.dot(jnp.sum(xs * xs, axis=0, keepdims=True), gm,
+                     preferred_element_type=jnp.float32)],
         axis=0,
     )  # (2, groups)
 
     @pl.when(i == 0)
     def _():
-        o_ref[0] = part
+        o_ref[0, 0:2] = part
 
     @pl.when(i > 0)
     def _():
-        o_ref[0] = o_ref[0] + part
+        o_ref[0, 0:2] = o_ref[0, 0:2] + part
 
 
 def _apply_kernel(x_ref, emb_ref, stats_ref, scale_ref, bias_ref, gmat_ref,
@@ -63,9 +84,10 @@ def _apply_kernel(x_ref, emb_ref, stats_ref, scale_ref, bias_ref, gmat_ref,
     if has_emb:
         x = x + emb_ref[0].astype(jnp.float32)
     gm_t = gmat_ref[...]                           # (C, groups)
-    s = stats_ref[0]                                # (2, groups)
-    mean_g = s[0:1] / count                         # (1, groups)
-    var_g = s[1:2] / count - mean_g * mean_g
+    s = stats_ref[0]                                # (3, groups): see _stats_kernel
+    shifted_mean_g = s[0:1] / count                 # (1, groups)
+    mean_g = shifted_mean_g + s[2:3]                # add back the shift
+    var_g = s[1:2] / count - shifted_mean_g * shifted_mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
     # expand per-group -> per-channel on the MXU
     mean_c = jax.lax.dot_general(
@@ -119,15 +141,16 @@ def fused_groupnorm_silu(
     emb_spec = pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0))
     gmat_spec = pl.BlockSpec((C, gp), lambda b, i: (0, 0))
     stats = pl.pallas_call(
-        functools.partial(_stats_kernel, has_emb=has_emb),
+        functools.partial(_stats_kernel, has_emb=has_emb,
+                          inv_tile_count=1.0 / (tm * (C // groups))),
         grid=grid,
         in_specs=[x_spec, emb_spec, gmat_spec],
-        out_specs=pl.BlockSpec((1, 2, gp), lambda b, i: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 2, gp), jnp.float32),
+        out_specs=pl.BlockSpec((1, 3, gp), lambda b, i: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 3, gp), jnp.float32),
         interpret=interpret,
     )(x, emb_in, gmat)
     count = float(N * (C // groups))
-    stats_spec = pl.BlockSpec((1, 2, gp), lambda b, i: (b, 0, 0))
+    stats_spec = pl.BlockSpec((1, 3, gp), lambda b, i: (b, 0, 0))
     row_spec = pl.BlockSpec((1, C), lambda b, i: (0, 0))
     return pl.pallas_call(
         functools.partial(_apply_kernel, count=count, eps=eps,
@@ -142,6 +165,44 @@ def fused_groupnorm_silu(
         ),
         interpret=interpret,
     )(x, emb_in, stats, scale.reshape(1, C), bias.reshape(1, C), gmat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_groupnorm_silu_diff(x, scale, bias, emb, groups=32, eps=1e-5,
+                              silu=True, interpret=False):
+    """Differentiable fused GN(+emb)+SiLU (round-3): forward = the fused
+    kernel pair; backward = XLA autodiff of the jnp reference (recompute).
+    GN is ~2% of the step budget (COVERAGE.md) so a bespoke Pallas backward
+    isn't warranted; this makes the op usable in training and under guidance
+    gradients.  ``emb`` may be None (pass explicitly)."""
+    return fused_groupnorm_silu(x, scale, bias, emb=emb, groups=groups,
+                                eps=eps, silu=silu, interpret=interpret)
+
+
+def _gn_diff_fwd(x, scale, bias, emb, groups, eps, silu, interpret):
+    out = fused_groupnorm_silu(x, scale, bias, emb=emb, groups=groups,
+                               eps=eps, silu=silu, interpret=interpret)
+    return out, (x, scale, bias, emb)
+
+
+def _gn_diff_bwd(groups, eps, silu, interpret, res, g):
+    x, scale, bias, emb = res
+    if emb is None:
+        _, vjp = jax.vjp(
+            lambda xx, sc, bi: fused_groupnorm_silu_reference(
+                xx, sc, bi, emb=None, groups=groups, eps=eps, silu=silu),
+            x, scale, bias,
+        )
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda xx, sc, bi, em: fused_groupnorm_silu_reference(
+            xx, sc, bi, emb=em, groups=groups, eps=eps, silu=silu),
+        x, scale, bias, emb,
+    )
+    return vjp(g)
+
+
+fused_groupnorm_silu_diff.defvjp(_gn_diff_fwd, _gn_diff_bwd)
 
 
 def fused_groupnorm_silu_reference(x, scale, bias, emb=None, groups=32,

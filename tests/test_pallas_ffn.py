@@ -40,6 +40,53 @@ def test_fused_ffn_bf16_mxu_close():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("activation", ["gelu", "silu", "leaky", "relu"])
+def test_fused_ffn_diff_grads_match_xla_autodiff(activation):
+    """custom_vjp (Pallas dx kernel + XLA param grads) vs jax.grad of the
+    jnp reference, every input cotangent (round-3 verdict #1)."""
+    args = _rand_ffn_inputs(416, 256, 1024, seed=2)
+    g_out = jnp.asarray(
+        np.random.RandomState(9).randn(416, 256).astype(np.float32)
+    )
+
+    def loss_fused(*a):
+        out = pallas_ffn.fused_ffn_diff(
+            *a, 1e-5, activation, "float32", True
+        )
+        return jnp.sum(out * g_out)  # arbitrary cotangent
+
+    def loss_ref(*a):
+        return jnp.sum(
+            pallas_ffn.fused_ffn_reference(*a, activation=activation) * g_out
+        )
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    names = ("dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2")
+    for n, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=n
+        )
+
+
+def test_fused_ffn_diff_input_only_grad():
+    """jax.grad wrt x alone (the guidance pattern) works and matches."""
+    args = _rand_ffn_inputs(416, 256, 1024, seed=3)
+
+    def energy_fused(x):
+        return jnp.sum(jnp.square(pallas_ffn.fused_ffn_diff(
+            x, *args[1:], 1e-5, "gelu", "float32", True
+        )))
+
+    def energy_ref(x):
+        return jnp.sum(jnp.square(pallas_ffn.fused_ffn_reference(x, *args[1:])))
+
+    got = jax.grad(energy_fused)(args[0])
+    want = jax.grad(energy_ref)(args[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_erf_approximation_accuracy():
     """A&S 7.1.26 erf (Mosaic has no native erf) vs jax.lax.erf."""
     x = jnp.asarray(np.linspace(-6.0, 6.0, 20001, dtype=np.float32))

@@ -28,6 +28,27 @@ def test_fused_gn_matches_reference(B, N, C, groups, with_emb, silu):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_gn_large_mean_no_cancellation():
+    """|mean| >> std must not destroy the variance (the round-2 advisor
+    finding: naive one-pass E[x^2]-E[x]^2 cancels mantissa bits; the shifted
+    accumulation keeps full precision)."""
+    rs = np.random.RandomState(1)
+    B, N, C, groups = 1, 1024, 256, 32
+    x = jnp.asarray((1e4 + rs.randn(B, N, C)).astype(np.float32))
+    scale = jnp.ones((C,), jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32)
+    got = pg.fused_groupnorm_silu(x, scale, bias, groups=groups, silu=False,
+                                  interpret=True)
+    ref = pg.fused_groupnorm_silu_reference(x, scale, bias, groups=groups,
+                                            silu=False)
+    # normalized outputs are O(1); without the shift the variance collapses
+    # and outputs blow up to O(30).  Residual ~3e-3 noise is f32 summation
+    # order in BOTH implementations at sum ~ 8e7, not cancellation.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+    # and the output must actually be normalized (std ~ 1), not blown up
+    assert float(jnp.std(got)) == pytest.approx(1.0, rel=0.05)
+
+
 def test_supports_shape_gates():
     assert pg.supports_shape(3328, 256, 32)
     assert not pg.supports_shape(3328, 65, 65)     # first_proj input GN

@@ -191,6 +191,131 @@ def test_layer_mode_matches_einsum_path():
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_fused)
 
 
+def _rand_layer_inputs(B, nC, vol, C, heads, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(B, nC, vol, C).astype(np.float32) * 0.5),
+        jnp.asarray((1.0 + 0.1 * rng.randn(C)).astype(np.float32)),
+        jnp.asarray((0.1 * rng.randn(C)).astype(np.float32)),
+        jnp.asarray((rng.randn(C, 3 * C) * 0.05).astype(np.float32)),
+        jnp.asarray(rng.randn(heads, vol, vol).astype(np.float32) * 0.3),
+        jnp.asarray((rng.randn(C, C) * 0.05).astype(np.float32)),
+        jnp.asarray((0.1 * rng.randn(C)).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize("B,nC,vol,C,heads", [
+    (1, 16, 13, 128, 4),
+    (2, 8, 16, 256, 4),
+])
+def test_v4_diff_grads_match_xla_autodiff(B, nC, vol, C, heads):
+    """custom_vjp of the v4 layer (Pallas dx kernel + XLA param grads) vs
+    jax.grad of the jnp reference over ALL inputs (round-3 verdict #1)."""
+    from prediff_tpu.ops.pallas_attention import (
+        fused_cuboid_attention_layer_v4_diff, cuboid_layer_attention_reference,
+    )
+
+    args = _rand_layer_inputs(B, nC, vol, C, heads, seed=11)
+    scale = (C // heads) ** -0.5
+    g_out = jnp.asarray(np.random.RandomState(12).randn(B, nC, vol, C)
+                        .astype(np.float32))
+
+    def loss_fused(*a):
+        out = fused_cuboid_attention_layer_v4_diff(
+            *a, heads, scale, 1e-5, "float32", True
+        )
+        return jnp.sum(out * g_out)
+
+    def loss_ref(*a):
+        return jnp.sum(
+            cuboid_layer_attention_reference(*a, heads, scale) * g_out
+        )
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    names = ("dx", "dgamma", "dbeta", "dwqkv", "dbias", "dwproj", "dbproj")
+    for n, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=n)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_axial_diff_grads_match_xla_autodiff(axis):
+    """Natural-layout axial custom_vjp vs reorder + reference autodiff."""
+    from prediff_tpu.ops.pallas_attention import (
+        fused_axial_attention_5d_diff, cuboid_layer_attention_reference,
+        _AXIAL_CUBOID_SIZE,
+    )
+    from prediff_tpu.ops.cuboid import cuboid_reorder, cuboid_reorder_reverse
+
+    B, T, H, W, C, heads = 1, 13, 8, 8, 128, 4
+    rng = np.random.RandomState(20 + axis)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.5)
+    vol = (T, H, W)[axis]
+    _, gam, bet, wq, _, wp, bp = _rand_layer_inputs(1, 1, vol, C, heads, seed=21)
+    bias = jnp.asarray(rng.randn(heads, vol, vol).astype(np.float32) * 0.3)
+    scale = (C // heads) ** -0.5
+    g_out = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32))
+    cs = _AXIAL_CUBOID_SIZE[axis](T, H, W)
+
+    def loss_fused(x, gam, bet, wq, bias, wp, bp):
+        out = fused_axial_attention_5d_diff(
+            x, axis, gam, bet, wq, bias, wp, bp, heads, scale, 1e-5,
+            "float32", True,
+        )
+        return jnp.sum(out * g_out)
+
+    def loss_ref(x, gam, bet, wq, bias, wp, bp):
+        xr = cuboid_reorder(x, cuboid_size=cs, strategy=("l", "l", "l"))
+        o = cuboid_layer_attention_reference(xr, gam, bet, wq, bias, wp, bp,
+                                             heads, scale)
+        o = cuboid_reorder_reverse(o, cuboid_size=cs, strategy=("l", "l", "l"),
+                                   orig_data_shape=(T, H, W))
+        return jnp.sum(o * g_out)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(x, gam, bet, wq, bias, wp, bp)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(x, gam, bet, wq, bias, wp, bp)
+    for n, a, b in zip(("dx", "dgamma", "dbeta", "dwqkv", "dbias", "dwproj",
+                        "dbproj"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=n)
+
+
+def test_layer_train_mode_grads_match_einsum_path():
+    """Module-level: with dropout 0 the fused path now serves TRAINING —
+    grads wrt params and input match the einsum path (bf16 MXU tolerance)."""
+    from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
+
+    kw = dict(dim=128, num_heads=4, cuboid_size=(4, 1, 1), shift_size=(0, 0, 0),
+              strategy=("l", "l", "l"), padding_type="zeros",
+              attn_drop=0.0, proj_drop=0.0)
+    base = CuboidSelfAttentionLayer(**kw)
+    fused = CuboidSelfAttentionLayer(use_pallas_attention="layer", **kw)
+    x = jnp.asarray(np.random.RandomState(31).randn(1, 4, 8, 8, 128)
+                    .astype(np.float32))
+    params = _randomize(base.init(jax.random.PRNGKey(0), x)["params"])
+    g_out = jnp.asarray(np.random.RandomState(32).randn(*x.shape)
+                        .astype(np.float32))
+
+    def loss(model):
+        def f(p, xx):
+            out = model.apply({"params": p}, xx, deterministic=False)
+            return jnp.sum(out * g_out)
+        return f
+
+    (gp_f, gx_f) = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    (gp_b, gx_b) = jax.grad(loss(base), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_b),
+                               rtol=3e-2, atol=3e-2)
+    flat_f = jax.tree_util.tree_leaves_with_path(gp_f)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(gp_b))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), rtol=3e-2, atol=3e-2,
+            err_msg=str(path),
+        )
+
+
 def test_layer_mode_falls_back_on_shift():
     from prediff_tpu.models.cuboid_attention import CuboidSelfAttentionLayer
 

@@ -81,7 +81,8 @@ def test_guidance_mean_shift_analytic():
 
     # monkeypatch-style: subclass overriding the energy
     class LinearAlign(KnowledgeAlignment):
-        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None):
+        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
+                             axis_name=None):
             return c * jnp.sum(zt)
 
     align = LinearAlign(params={}, guide_scale=guide, apply_fn=align_apply)
