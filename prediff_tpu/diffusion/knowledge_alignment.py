@@ -39,15 +39,23 @@ class KnowledgeAlignment:
     def predict(self, zt, t, zc=None, y=None):
         return self.apply_fn({"params": self.params}, zt, t, zc=zc, y=y)
 
-    def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None):
+    def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
+                         axis_name=None):
+        """When ``axis_name`` is given (shard_map-partitioned sampling), the
+        squared error is psum'd across the mesh before the sqrt so the
+        batch-coupled energy matches the unsharded computation exactly."""
         pred = self.predict(zt, t, zc=zc, y=y)  # (B, T, 1)
         pred = pred.mean(axis=1)  # (B, 1)
-        return jnp.sqrt(jnp.sum(jnp.square(pred - avg_x_gt)) + 1e-24)
+        sq = jnp.sum(jnp.square(pred - avg_x_gt))
+        if axis_name is not None:
+            sq = jax.lax.psum(sq, axis_name)
+        return jnp.sqrt(sq + 1e-24)
 
-    def get_mean_shift(self, zt, t, avg_x_gt, zc=None, y=None):
+    def get_mean_shift(self, zt, t, avg_x_gt, zc=None, y=None, axis_name=None):
         """guide_scale * d(energy)/d(z_t), computed in-graph."""
         grad = jax.grad(
-            lambda z: self.alignment_energy(z, t, avg_x_gt, zc=zc, y=y)
+            lambda z: self.alignment_energy(z, t, avg_x_gt, zc=zc, y=y,
+                                            axis_name=axis_name)
         )(zt)
         return self.guide_scale * grad
 

@@ -248,8 +248,14 @@ class LatentDiffusion:
     def _p_sample_step(
         self, unet_params, align_params, z, t, zc, y, avg_x_gt, step_rng,
         use_alignment: bool, temperature: float = 1.0,
+        noise_fn=None, axis_name=None,
     ):
-        """One reverse step (ref p_sample :598-631)."""
+        """One reverse step (ref p_sample :598-631).  ``noise_fn`` abstracts
+        noise generation so the shard_map path can draw each device's slice
+        of the GLOBAL noise tensor (bit-identical to unsharded sampling);
+        ``axis_name`` threads the mesh axis into the guidance psum."""
+        if noise_fn is None:
+            noise_fn = lambda rng, shape, dtype: jax.random.normal(rng, shape, dtype)  # noqa: E731
         model_out = self.unet_apply({"params": unet_params}, z, t, zc)
         mean, _, log_var, _ = core.p_mean_variance(
             self.schedule, model_out, z, t,
@@ -258,9 +264,10 @@ class LatentDiffusion:
         )
         if use_alignment:
             align = self.alignment.replace(params=align_params)
-            shift = align.get_mean_shift(z, t, avg_x_gt, zc=zc, y=y)
+            shift = align.get_mean_shift(z, t, avg_x_gt, zc=zc, y=y,
+                                         axis_name=axis_name)
             mean = mean - jnp.exp(0.5 * log_var) * shift
-        noise = jax.random.normal(step_rng, z.shape, z.dtype) * temperature
+        noise = noise_fn(step_rng, z.shape, z.dtype) * temperature
         nonzero = (t > 0).astype(z.dtype).reshape((-1,) + (1,) * (z.ndim - 1))
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
@@ -279,11 +286,38 @@ class LatentDiffusion:
         ddim_steps: Optional[int],
         ddim_eta: float,
         ddim_clip_x0: bool,
+        mesh=None,
+        mesh_axis: str = "data",
     ):
-        """Compile the full sampling chain for a static configuration."""
+        """Compile the full sampling chain for a static configuration.
+
+        With ``mesh`` (round-3): the WHOLE chain runs under ``jax.shard_map``
+        over the mesh's batch axis, so every pallas_call launches a per-device
+        grid over only its batch shard — GSPMD would otherwise replicate the
+        kernels on every chip (SURVEY §2.5: DDP shards all compute).  Noise is
+        drawn as each device's slice of the global noise tensor and the
+        guidance energy psums across the mesh, so sharded sampling is
+        BIT-IDENTICAL to the unsharded path."""
         total_T = timesteps or self.num_timesteps
-        latent_shape = (batch_size,) + self.latent_shape
+        n_shards = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        assert batch_size % n_shards == 0, (batch_size, n_shards)
+        local_bs = batch_size // n_shards  # per-device batch under shard_map
+        latent_shape = (local_bs,) + self.latent_shape
         compute_dtype = jnp.dtype(compute_dtype_name)
+        axis_name = mesh_axis if mesh is not None else None
+
+        if mesh is None:
+            def noise_fn(rng, shape, dtype):
+                return jax.random.normal(rng, shape, dtype)
+        else:
+            def noise_fn(rng, shape, dtype):
+                # this device's slice of the GLOBAL noise tensor
+                full = jax.random.normal(rng, (batch_size,) + tuple(shape[1:]),
+                                         dtype)
+                idx = jax.lax.axis_index(mesh_axis)
+                return jax.lax.dynamic_slice_in_dim(
+                    full, idx * shape[0], shape[0], 0
+                )
 
         if sampler == "ddpm":
             ts_all = np.arange(total_T - 1, -1, -1, dtype=np.int32)
@@ -307,13 +341,14 @@ class LatentDiffusion:
 
         def ddpm_step(unet_params, align_params, zc, y, avg_x_gt, mask, x0, rng, z, t_scalar):
             step_rng = jax.random.fold_in(rng, t_scalar)
-            t_b = jnp.full((batch_size,), t_scalar, jnp.int32)
+            t_b = jnp.full((local_bs,), t_scalar, jnp.int32)
             z = self._p_sample_step(
                 unet_params, align_params, z, t_b, zc, y, avg_x_gt, step_rng,
                 use_alignment=use_alignment, temperature=temperature,
+                noise_fn=noise_fn, axis_name=axis_name,
             )
             if use_mask:
-                noise = jax.random.normal(jax.random.fold_in(step_rng, 1), z.shape, z.dtype)
+                noise = noise_fn(jax.random.fold_in(step_rng, 1), z.shape, z.dtype)
                 z_orig = core.q_sample(self.schedule, x0, t_b, noise)
                 z = z_orig * mask + (1.0 - mask) * z
             return z.astype(compute_dtype)
@@ -321,7 +356,7 @@ class LatentDiffusion:
         def ddim_step(unet_params, align_params, zc, y, avg_x_gt, mask, x0, rng, z, idx):
             t_scalar = ddim_ts[idx]
             step_rng = jax.random.fold_in(rng, idx)
-            t_b = jnp.full((batch_size,), t_scalar, jnp.int32)
+            t_b = jnp.full((local_bs,), t_scalar, jnp.int32)
             model_out = self.unet_apply({"params": unet_params}, z, t_b, zc)
             if self.parameterization == "eps":
                 eps = model_out
@@ -338,11 +373,12 @@ class LatentDiffusion:
             if use_alignment:
                 # shift eps by sigma_t * grad (classifier-guidance equivalent)
                 align = self.alignment.replace(params=align_params)
-                shift = align.get_mean_shift(z, t_b, avg_x_gt, zc=zc, y=y)
+                shift = align.get_mean_shift(z, t_b, avg_x_gt, zc=zc, y=y,
+                                             axis_name=axis_name)
                 eps = eps + jnp.sqrt(1.0 - a_t) * shift
                 x0_pred = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
             dir_zt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
-            noise = jax.random.normal(step_rng, z.shape, z.dtype) * temperature
+            noise = noise_fn(step_rng, z.shape, z.dtype) * temperature
             return (jnp.sqrt(a_prev) * x0_pred + dir_zt + sigma * noise).astype(compute_dtype)
 
         step = ddpm_step if sampler == "ddpm" else ddim_step
@@ -350,12 +386,13 @@ class LatentDiffusion:
         # Everything — x_T generation, cond encode, the reverse scan, decode —
         # lives inside ONE jit so a sample() call is a single device dispatch
         # (eager per-call ops are pathological on remote/tunneled devices).
-        @jax.jit
-        def sample_fn(unet_params, vae_params, align_params, rng, y,
-                      avg_x_gt=None, x_T=None, mask=None, x0=None):
+        def sample_body(unet_params, vae_params, align_params, rng, y,
+                        avg_x_gt, x_T, mask, x0):
+            if mesh is not None:  # shard_map hands each device its shard
+                assert y.shape[0] == local_bs, (y.shape, local_bs)
             rng_init, rng_loop = jax.random.split(rng)
             z = (
-                jax.random.normal(rng_init, latent_shape, jnp.float32)
+                noise_fn(rng_init, latent_shape, jnp.float32)
                 if x_T is None else x_T
             ).astype(compute_dtype)
             zc = self.cond_stage_forward(vae_params, y).astype(compute_dtype)
@@ -382,7 +419,23 @@ class LatentDiffusion:
                 inter = intermediates if num_segments > 1 else None
             return out, inter
 
-        return sample_fn
+        if mesh is None:
+            return jax.jit(sample_body)
+
+        from jax.sharding import PartitionSpec as P
+
+        data = P(mesh_axis)
+        repl = P()
+        mapped = jax.shard_map(
+            sample_body,
+            mesh=mesh,
+            # params/rng replicated; batch-carrying args sharded on the mesh
+            # axis (None args are leafless pytrees — any spec prefix matches)
+            in_specs=(repl, repl, repl, repl, data, data, data, data, data),
+            out_specs=(data, data),
+            check_vma=False,  # guidance psum + closure constants
+        )
+        return jax.jit(mapped)
 
     def sample(
         self,
@@ -406,13 +459,22 @@ class LatentDiffusion:
         ddim_clip_x0: bool = False,
         scan_unroll: int = 1,
         compute_dtype="float32",
+        mesh=None,
     ):
         """Generate a forecast from context ``y`` (B, T_in, H, W, C).
 
-        Returns decoded pixels (B, T_out, H, W, C) (or latents), plus
-        intermediates when requested."""
+        ``mesh``: a 1-D ``jax.sharding.Mesh`` — when it has more than one
+        device the whole chain runs shard_map-partitioned over its ``data``
+        axis (pallas kernels launch per-shard; outputs are bit-identical to
+        unsharded sampling).  Returns decoded pixels (B, T_out, H, W, C) (or
+        latents), plus intermediates when requested."""
         if use_alignment:
             assert self.alignment is not None, "alignment not configured"
+        if mesh is not None and (
+            int(np.prod(mesh.devices.shape)) == 1
+            or y.shape[0] % int(np.prod(mesh.devices.shape)) != 0
+        ):
+            mesh = None  # single device / indivisible batch: plain jit
         batch_size = y.shape[0]
         num_segments = (
             max(1, (timesteps or self.num_timesteps) // self.log_every_t)
@@ -424,9 +486,9 @@ class LatentDiffusion:
             int(scan_unroll), jnp.dtype(compute_dtype).name,
             sampler, ddim_steps, float(ddim_eta), ddim_clip_x0,
         )
-        if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_sample_fn(*key)
-        fn = self._jit_cache[key]
+        if (key, mesh) not in self._jit_cache:
+            self._jit_cache[(key, mesh)] = self._build_sample_fn(*key, mesh=mesh)
+        fn = self._jit_cache[(key, mesh)]
 
         out, inter = fn(
             unet_params, vae_params,
@@ -434,8 +496,8 @@ class LatentDiffusion:
                 self.alignment.params if self.alignment else 0
             ),
             rng, y,
-            avg_x_gt=(alignment_kwargs or {}).get("avg_x_gt"),
-            x_T=x_T, mask=mask, x0=x0,
+            (alignment_kwargs or {}).get("avg_x_gt"),
+            x_T, mask, x0,
         )
         if return_intermediates:
             return out, inter

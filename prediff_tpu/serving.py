@@ -26,7 +26,10 @@ class PreDiffPredictor:
 
     def __init__(self, cfg: Optional[ConfigDict] = None, params: Optional[Dict] = None,
                  with_alignment: bool = True, seed: int = 0,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", mesh="auto"):
+        """``mesh='auto'``: on multi-device hosts, shard sampling over a
+        data mesh via shard_map (per-device pallas kernel launches); pass an
+        explicit Mesh or None to override."""
         self.cfg = cfg or prediff_default_config()
         self.ld, self.params = build_pipeline(
             self.cfg, rng=jax.random.PRNGKey(seed), with_alignment=with_alignment,
@@ -35,6 +38,10 @@ class PreDiffPredictor:
         )
         self.with_alignment = with_alignment
         self.compute_dtype = compute_dtype
+        if mesh == "auto":
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh() if len(jax.devices()) > 1 else None
+        self.mesh = mesh
         self._rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------ #
@@ -93,7 +100,7 @@ class PreDiffPredictor:
         ``use_alignment`` steers toward ``avg_x_gt`` (anticipated mean
         intensity, shape (B, 1))."""
         y = jnp.asarray(context)
-        kw = dict(compute_dtype=self.compute_dtype)
+        kw = dict(compute_dtype=self.compute_dtype, mesh=self.mesh)
         if ddim_steps:
             kw.update(sampler="ddim", ddim_steps=ddim_steps)
         if timesteps:
@@ -114,7 +121,7 @@ class PreDiffPredictor:
     ) -> jnp.ndarray:
         """(num_samples, B, T_out, H, W, C); members batch across the mesh."""
         y = jnp.asarray(context)
-        kw = dict(compute_dtype=self.compute_dtype)
+        kw = dict(compute_dtype=self.compute_dtype, mesh=self.mesh)
         if kwargs.get("ddim_steps"):
             kw.update(sampler="ddim", ddim_steps=kwargs["ddim_steps"])
         if kwargs.get("timesteps"):
