@@ -87,6 +87,12 @@ def optim_default() -> Dict:
     return dict(
         total_batch_size=64, micro_batch_size=2, seed=0,
         float32_matmul_precision="high",  # torch knob; informational here
+        # 'auto' -> TPU hardware RNG ('rbg') for per-step training randomness
+        # (dropout masks, q_sample noise, t draws); threefry elsewhere.
+        # Motivation: probe40c measured the v1 (dropout .1) train step 25-50%
+        # slower than dropout-0 — threefry mask generation is the suspect;
+        # probe43 quantifies the rbg effect.
+        prng_impl="auto",
         method="adamw",
         lr=1.0e-3, wd=1.0e-5, betas=[0.9, 0.999], gradient_clip_val=1.0,
         max_epochs=2000, loss_type="l2", warmup_percentage=0.1,

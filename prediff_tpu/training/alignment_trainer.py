@@ -32,6 +32,7 @@ class AlignmentTrainer:
         optim_config: Optional[Dict] = None,
         use_ema: bool = False,
         mesh: Optional[Mesh] = None,
+        prng_impl=None,
     ):
         self.model_apply = model_apply
         self.vae_apply_encode = vae_apply_encode
@@ -43,6 +44,7 @@ class AlignmentTrainer:
         self.optim_config = dict(optim_config or {})
         self.use_ema = use_ema
         self.mesh = mesh
+        self.prng_impl = prng_impl
         self._train_step = None
 
     def create_state(self, params) -> EmaTrainState:
@@ -91,8 +93,14 @@ class AlignmentTrainer:
         return loss, loss_dict
 
     def make_train_step(self):
+        from .optim import convert_key_impl, resolve_prng_impl
+
+        impl = resolve_prng_impl(self.prng_impl)
+
         def step(state: EmaTrainState, rng, x, y):
-            step_rng = jax.random.fold_in(rng, state.step)
+            step_rng = convert_key_impl(
+                jax.random.fold_in(rng, state.step), impl
+            )
             (loss, loss_dict), grads = jax.value_and_grad(
                 lambda p: self.loss_fn(p, step_rng, x, y, train=True), has_aux=True
             )(state.params)

@@ -33,6 +33,7 @@ class DiffusionTrainer:
         mesh: Optional[Mesh] = None,
         remat_unet: bool = False,
         track_grad_norm: bool = False,
+        prng_impl=None,
     ):
         self.ld = ld
         self.vae_params = vae_params
@@ -42,6 +43,9 @@ class DiffusionTrainer:
         self.mesh = mesh
         self.remat_unet = remat_unet
         self.track_grad_norm = track_grad_norm
+        # 'auto' -> TPU hardware RNG for the per-step randomness (see
+        # training/optim.py::convert_key_impl)
+        self.prng_impl = prng_impl
         self._train_step = None
         self._val_step = None
 
@@ -71,8 +75,14 @@ class DiffusionTrainer:
         )
 
     def make_train_step(self):
+        from .optim import convert_key_impl, resolve_prng_impl
+
+        impl = resolve_prng_impl(self.prng_impl)
+
         def step(state: EmaTrainState, rng, x, y):
-            step_rng = jax.random.fold_in(rng, state.step)
+            step_rng = convert_key_impl(
+                jax.random.fold_in(rng, state.step), impl
+            )
 
             def loss_fn(params):
                 return self._loss_fn(params, step_rng, x, y, True, "train")

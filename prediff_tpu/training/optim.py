@@ -75,3 +75,29 @@ def build_optimizer(
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
+
+
+def resolve_prng_impl(flag):
+    """'auto' -> 'rbg' on real TPUs (hardware RNG), threefry elsewhere."""
+    import jax
+
+    if flag == "auto":
+        return "rbg" if jax.default_backend() == "tpu" else None
+    return flag
+
+
+def convert_key_impl(key, impl):
+    """Derive an ``impl``-typed PRNG key from ``key`` in-graph.
+
+    'rbg' keys generate bits with the TPU hardware RNG instead of threefry
+    ALU rounds — probe40c measured threefry randomness (dropout masks +
+    q_sample noise) at 20-35%% of the v1 train step.  The derived key is a
+    deterministic function of ``key``, so per-step fold_in reproducibility
+    is preserved (under a fixed impl choice)."""
+    if impl in (None, "threefry", "threefry2x32"):
+        return key
+    import jax
+    import jax.numpy as jnp
+
+    data = jax.random.bits(key, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl=impl)

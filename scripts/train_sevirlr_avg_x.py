@@ -100,6 +100,7 @@ def main():
             warmup_percentage=cfg.optim.warmup_percentage,
         ),
         mesh=mesh,
+        prng_impl=cfg.optim.get("prng_impl", "auto"),
     )
     state = trainer.create_state(model_params)
     in_slice, out_slice = layout_to_in_out_slice(

@@ -139,6 +139,7 @@ def main():
         mesh=mesh,
         # Lightning semantics: track_grad_norm=-1 is off, p>=1 logs norms
         track_grad_norm=cfg.logging.track_grad_norm != -1,
+        prng_impl=cfg.optim.get("prng_impl", "auto"),
     )
 
     in_slice, out_slice = layout_to_in_out_slice(

@@ -115,6 +115,35 @@ def test_diffusion_train_step_sharded(tiny_setup):
     assert np.isfinite(float(metrics["val/loss"]))
 
 
+def test_train_step_rbg_prng(tiny_setup):
+    """prng_impl='rbg' (TPU hardware RNG on device; functional on CPU too)
+    trains to a finite loss and produces different — but statistically
+    comparable — randomness than threefry."""
+    from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        2, tiny_setup["OUT_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).rand(
+        2, tiny_setup["IN_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+
+    def one_step(impl):
+        tr = DiffusionTrainer(
+            tiny_setup["ld"], tiny_setup["vae_params"],
+            optim_config=dict(lr=1e-3, total_num_steps=10), prng_impl=impl,
+        )
+        state = tr.create_state(tiny_setup["unet_params"])
+        _, m = tr.train_step(state, jax.random.PRNGKey(0), x, y)
+        return float(m["train/loss"])
+
+    loss_rbg, loss_tf = one_step("rbg"), one_step(None)
+    assert np.isfinite(loss_rbg) and np.isfinite(loss_tf)
+    # different streams, same distribution: both O(1) eps-prediction losses
+    assert loss_rbg != loss_tf
+    assert 0.1 < loss_rbg < 10.0 and 0.1 < loss_tf < 10.0
+
+
 def test_track_grad_norm_per_module(tiny_setup):
     """track_grad_norm logs one norm per top-level UNet module + logvar, and
     their square-sum matches the global norm (ref track_grad_norm=2)."""
