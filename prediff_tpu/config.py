@@ -93,6 +93,17 @@ def optim_default() -> Dict:
         # slower than dropout-0 — threefry mask generation is the suspect;
         # probe43 quantifies the rbg effect.
         prng_impl="auto",
+        # flat_update: run clip/adam/EMA on ONE raveled param vector (one
+        # fused kernel) instead of ~4 tiny fusions per param leaf.  Measured
+        # 7% SLOWER on a v5e (probe45: 22.4 vs 24.2 samples/s at B=8 — the
+        # ravel concatenate copies outweigh the dispatch savings), so default
+        # off; the option stays for param-count-heavy configs.
+        # matmul_precision: 'bfloat16' wraps the loss in
+        # jax.default_matmul_precision; measured a no-op on the v1 config
+        # (probe45: identical time AND loss — XLA already picks bf16 MXU
+        # passes for these convs), so default off.
+        flat_update=False,
+        matmul_precision=None,
         method="adamw",
         lr=1.0e-3, wd=1.0e-5, betas=[0.9, 0.999], gradient_clip_val=1.0,
         max_epochs=2000, loss_type="l2", warmup_percentage=0.1,
@@ -116,6 +127,10 @@ def diffusion_default() -> Dict:
         # frames per lax.map chunk in decode (the reference's use_slicing
         # memory escape hatch, taming/autoencoder_kl.py:91-113); None = all
         decode_chunk_size=None,
+        # frozen-VAE *encode* compute dtype; 'auto' = bf16 on real TPUs
+        # (f32 HBM traffic on (B*T,128,128,C) activations dominates the
+        # encoder, probe44), f32 on CPU/tests.  Decode stays f32.
+        first_stage_dtype="auto",
     )
 
 

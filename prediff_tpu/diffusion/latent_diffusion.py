@@ -62,6 +62,7 @@ class LatentDiffusion:
         log_every_t: int = 100,
         alignment: Optional[KnowledgeAlignment] = None,
         decode_chunk_size: Optional[int] = None,
+        first_stage_dtype: str = "auto",
     ):
         assert parameterization in ("eps", "x0")
         self.unet_apply = unet_apply
@@ -96,7 +97,21 @@ class LatentDiffusion:
         self.log_every_t = log_every_t
         self.alignment = alignment
         self.decode_chunk_size = decode_chunk_size
+        # Compute dtype for the frozen VAE *encode* (training latents + the
+        # sampling chain's conditioning encode).  The encoder works on
+        # (B*T,128,128,C) pixel-space activations whose f32 HBM traffic
+        # dominates its runtime (probe44: ~35 ms of the B=8 train step);
+        # 'auto' casts activations+params to bf16 on real TPUs and returns
+        # f32 moments (CPU/tests keep f32 → bit-identical).  Decode stays
+        # f32: eval metrics are computed from its output.
+        self.first_stage_dtype = first_stage_dtype
         self._jit_cache: Dict = {}
+
+    def _resolved_first_stage_dtype(self):
+        name = self.first_stage_dtype
+        if name == "auto":
+            return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        return jnp.dtype(name)
 
     # ------------------------------------------------------------------ #
     # first/cond stage
@@ -117,7 +132,16 @@ class LatentDiffusion:
         Training samples the posterior; conditioning takes the mode
         (ref :382-391 / :361-380)."""
         frames, B = self._frames(x)
+        dtype = self._resolved_first_stage_dtype()
+        if dtype != jnp.float32:
+            frames = frames.astype(dtype)
+            vae_params = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                vae_params,
+            )
         moments = self.vae_apply_encode({"params": vae_params}, frames)
+        moments = moments.astype(jnp.float32)
         posterior = DiagonalGaussianDistribution.from_parameters(moments)
         z = posterior.sample(rng) if sample_posterior else posterior.mode()
         return self._unframes(self.scale_factor * z, B)

@@ -221,6 +221,7 @@ def build_pipeline(
         log_every_t=d.log_every_t,
         alignment=alignment,
         decode_chunk_size=d.get("decode_chunk_size"),
+        first_stage_dtype=d.get("first_stage_dtype", "auto"),
     )
     params = {"unet": unet_params, "vae": vae_params}
     if align_params is not None:

@@ -16,6 +16,43 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize JAX's multi-process runtime (the DDP process-group
+    equivalent, ref train_sevirlr_prediff.py:648 DDPStrategy/NCCL).
+
+    Call once per process before any mesh/device use on a multi-host pod.
+    With no arguments JAX auto-detects the coordinator from the TPU pod
+    metadata / standard cluster env vars (``jax.distributed.initialize()``
+    no-arg form); explicit args cover bring-your-own-cluster setups.
+    Returns True if the distributed runtime was (already) initialized.
+    Safe to call in single-process runs: initialization errors from having
+    no cluster are caught and reported False.
+    """
+    try:
+        if jax._src.distributed.global_state.client is not None:  # already up
+            return True
+    except Exception:
+        pass
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+        return True
+    except Exception as e:  # single-process / no cluster metadata
+        import warnings
+
+        warnings.warn(f"jax.distributed.initialize failed ({e}); "
+                      "continuing single-process")
+        return False
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     devices = list(devices) if devices is not None else jax.devices()

@@ -33,6 +33,8 @@ class AlignmentTrainer:
         use_ema: bool = False,
         mesh: Optional[Mesh] = None,
         prng_impl=None,
+        flat_update: bool = False,
+        matmul_precision: Optional[str] = None,
     ):
         self.model_apply = model_apply
         self.vae_apply_encode = vae_apply_encode
@@ -45,11 +47,16 @@ class AlignmentTrainer:
         self.use_ema = use_ema
         self.mesh = mesh
         self.prng_impl = prng_impl
+        # see DiffusionTrainer: raveled-vector optimizer update + one-pass
+        # bf16 MXU operands on real TPUs
+        self.flat_update = flat_update
+        self.matmul_precision = matmul_precision
         self._train_step = None
 
     def create_state(self, params) -> EmaTrainState:
         tx = build_optimizer(**self.optim_config)
-        state = EmaTrainState.create(params, tx, use_ema=self.use_ema)
+        state = EmaTrainState.create(params, tx, use_ema=self.use_ema,
+                                     flat_update=self.flat_update)
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))
         return state
@@ -97,12 +104,23 @@ class AlignmentTrainer:
 
         impl = resolve_prng_impl(self.prng_impl)
 
+        precision = self.matmul_precision
+        if precision == "auto":
+            precision = "bfloat16" if jax.default_backend() == "tpu" else None
+
         def step(state: EmaTrainState, rng, x, y):
             step_rng = convert_key_impl(
                 jax.random.fold_in(rng, state.step), impl
             )
+
+            def loss_closure(p):
+                if precision is not None:
+                    with jax.default_matmul_precision(precision):
+                        return self.loss_fn(p, step_rng, x, y, train=True)
+                return self.loss_fn(p, step_rng, x, y, train=True)
+
             (loss, loss_dict), grads = jax.value_and_grad(
-                lambda p: self.loss_fn(p, step_rng, x, y, train=True), has_aux=True
+                loss_closure, has_aux=True
             )(state.params)
             new_state = state.apply_gradients(grads)
             loss_dict["train_loss"] = loss

@@ -34,6 +34,8 @@ class DiffusionTrainer:
         remat_unet: bool = False,
         track_grad_norm: bool = False,
         prng_impl=None,
+        flat_update: bool = False,
+        matmul_precision: Optional[str] = None,
     ):
         self.ld = ld
         self.vae_params = vae_params
@@ -46,8 +48,21 @@ class DiffusionTrainer:
         # 'auto' -> TPU hardware RNG for the per-step randomness (see
         # training/optim.py::convert_key_impl)
         self.prng_impl = prng_impl
+        # single raveled-vector clip/adam/EMA update (see EmaTrainState)
+        self.flat_update = flat_update
+        # 'bfloat16' (or 'auto' = bf16 on real TPUs) wraps the loss in
+        # jax.default_matmul_precision.  Measured a no-op on the v1 config
+        # (probe45: identical step time and loss — XLA already runs these
+        # convs' MXU passes in bf16), so default None; kept for configs
+        # where XLA's own demotion is less aggressive.
+        self.matmul_precision = matmul_precision
         self._train_step = None
         self._val_step = None
+
+    def _resolved_matmul_precision(self) -> Optional[str]:
+        if self.matmul_precision == "auto":
+            return "bfloat16" if jax.default_backend() == "tpu" else None
+        return self.matmul_precision
 
     def create_state(self, unet_params) -> EmaTrainState:
         params = {"unet": unet_params}
@@ -55,7 +70,8 @@ class DiffusionTrainer:
             params["logvar"] = self.ld.init_logvar()
         tx = build_optimizer(**self.optim_config)
         state = EmaTrainState.create(
-            params, tx, use_ema=self.use_ema, ema_decay=self.ema_decay
+            params, tx, use_ema=self.use_ema, ema_decay=self.ema_decay,
+            flat_update=self.flat_update,
         )
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))
@@ -75,9 +91,12 @@ class DiffusionTrainer:
         )
 
     def make_train_step(self):
+        from jax.flatten_util import ravel_pytree
+
         from .optim import convert_key_impl, resolve_prng_impl
 
         impl = resolve_prng_impl(self.prng_impl)
+        precision = self._resolved_matmul_precision()
 
         def step(state: EmaTrainState, rng, x, y):
             step_rng = convert_key_impl(
@@ -85,11 +104,19 @@ class DiffusionTrainer:
             )
 
             def loss_fn(params):
+                if precision is not None:
+                    with jax.default_matmul_precision(precision):
+                        return self._loss_fn(params, step_rng, x, y, True, "train")
                 return self._loss_fn(params, step_rng, x, y, True, "train")
 
             (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads)
-            loss_dict["grad_norm"] = optax_global_norm(grads)
+            if self.flat_update:
+                # one reduce over the same concatenate apply_gradients uses
+                # (CSE'd) instead of one tiny reduction per param leaf
+                loss_dict["grad_norm"] = jnp.linalg.norm(ravel_pytree(grads)[0])
+            else:
+                loss_dict["grad_norm"] = optax_global_norm(grads)
             if self.track_grad_norm:
                 # per-top-level-module norms (parity: Lightning
                 # track_grad_norm=2, ref train_sevirlr_prediff.py:1088-1094)

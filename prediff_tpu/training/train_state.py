@@ -4,6 +4,7 @@ from typing import Any, Optional
 import jax
 import optax
 from flax import struct
+from jax.flatten_util import ravel_pytree
 
 from .ema import ema_update
 
@@ -16,18 +17,28 @@ class EmaTrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     ema_decay: float = struct.field(pytree_node=False, default=0.9999)
     use_ema: bool = struct.field(pytree_node=False, default=True)
+    # Run clip/optimizer/EMA on ONE raveled vector instead of per-leaf
+    # pytrees (one fused update kernel vs 3-4 tiny fusions per param leaf).
+    # Semantics are identical (clip is global, adamw/EMA are elementwise);
+    # only reduction order inside the global norm differs (last-ulp).
+    # Measured 7% SLOWER on a v5e for the v1 config (probe45: the ravel
+    # concatenate copies cost more than the dispatch savings), hence
+    # default False; kept as an option for many-small-leaves models.
+    flat_update: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
-    def create(cls, params, tx, use_ema: bool = True, ema_decay: float = 0.9999):
+    def create(cls, params, tx, use_ema: bool = True, ema_decay: float = 0.9999,
+               flat_update: bool = False):
         import jax.numpy as jnp
 
         # own copies throughout: train steps donate the state, which would
         # otherwise delete buffers the caller (or a sibling state) still holds
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+        opt_target = ravel_pytree(params)[0] if flat_update else params
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=tx.init(params),
+            opt_state=tx.init(opt_target),
             # real copies — params/ema must not alias or buffer donation breaks
             ema_params=(
                 jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
@@ -36,9 +47,12 @@ class EmaTrainState(struct.PyTreeNode):
             tx=tx,
             ema_decay=ema_decay,
             use_ema=use_ema,
+            flat_update=flat_update,
         )
 
     def apply_gradients(self, grads):
+        if self.flat_update:
+            return self._apply_gradients_flat(grads)
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         new_ema = (
@@ -48,6 +62,24 @@ class EmaTrainState(struct.PyTreeNode):
         return self.replace(
             step=self.step + 1,
             params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+
+    def _apply_gradients_flat(self, grads):
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(self.params)
+        updates, new_opt_state = self.tx.update(flat_g, self.opt_state, flat_p)
+        new_flat = flat_p + updates
+        new_ema = None
+        if self.use_ema:
+            flat_e, unravel_e = ravel_pytree(self.ema_params)
+            new_ema = unravel_e(
+                ema_update(flat_e, new_flat, self.ema_decay, self.step)
+            )
+        return self.replace(
+            step=self.step + 1,
+            params=unravel(new_flat),
             opt_state=new_opt_state,
             ema_params=new_ema,
         )

@@ -54,6 +54,7 @@ class VAETrainer:
         optim_config: Optional[Dict] = None,
         disc_optim_config: Optional[Dict] = None,
         mesh: Optional[Mesh] = None,
+        flat_update: bool = False,
     ):
         self.vae = vae
         self.disc = disc or NLayerDiscriminator(input_nc=vae.out_channels, n_layers=3)
@@ -68,6 +69,8 @@ class VAETrainer:
         self.optim_config = dict(optim_config or {})
         self.disc_optim_config = dict(disc_optim_config or self.optim_config)
         self.mesh = mesh
+        # raveled-vector optimizer updates (see EmaTrainState.flat_update)
+        self.flat_update = flat_update
         self._train_step = None
 
     def create_states(self, rng, sample_input) -> Tuple[EmaTrainState, EmaTrainState, Any]:
@@ -80,10 +83,12 @@ class VAETrainer:
             "logvar": jnp.asarray(self.logvar_init, jnp.float32),
         }
         gen_state = EmaTrainState.create(
-            gen_params, build_optimizer(**self.optim_config), use_ema=False
+            gen_params, build_optimizer(**self.optim_config), use_ema=False,
+            flat_update=self.flat_update,
         )
         disc_state = EmaTrainState.create(
-            disc_vars["params"], build_optimizer(**self.disc_optim_config), use_ema=False
+            disc_vars["params"], build_optimizer(**self.disc_optim_config),
+            use_ema=False, flat_update=self.flat_update,
         )
         batch_stats = disc_vars.get("batch_stats", {})
         if self.mesh is not None:

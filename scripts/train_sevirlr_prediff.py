@@ -39,6 +39,12 @@ def parse_args():
                    help="evaluate with the DDIM fast sampler")
     p.add_argument("--timesteps", default=None, type=int,
                    help="truncate the DDPM chain during eval")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host pod; the DDP "
+                        "process-group equivalent)")
+    p.add_argument("--coordinator", default=None, type=str,
+                   help="coordinator address for --multihost on "
+                        "bring-your-own clusters (host:port)")
     return p.parse_args()
 
 
@@ -46,6 +52,9 @@ def main():
     args = parse_args()
     from prediff_tpu.utils.platform import respect_jax_platforms_env
     respect_jax_platforms_env()
+    if args.multihost:
+        from prediff_tpu.parallel.mesh import init_distributed
+        init_distributed(coordinator_address=args.coordinator)
     import jax
     import jax.numpy as jnp
 
@@ -140,6 +149,8 @@ def main():
         # Lightning semantics: track_grad_norm=-1 is off, p>=1 logs norms
         track_grad_norm=cfg.logging.track_grad_norm != -1,
         prng_impl=cfg.optim.get("prng_impl", "auto"),
+        flat_update=cfg.optim.get("flat_update", False),
+        matmul_precision=cfg.optim.get("matmul_precision", None),
     )
 
     in_slice, out_slice = layout_to_in_out_slice(

@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--sevir-dir", default=None, type=str)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--max-steps", default=None, type=int)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host pod)")
+    p.add_argument("--coordinator", default=None, type=str)
     return p.parse_args()
 
 
@@ -32,6 +35,9 @@ def main():
     args = parse_args()
     from prediff_tpu.utils.platform import respect_jax_platforms_env
     respect_jax_platforms_env()
+    if args.multihost:
+        from prediff_tpu.parallel.mesh import init_distributed
+        init_distributed(coordinator_address=args.coordinator)
     import jax
     import jax.numpy as jnp
 

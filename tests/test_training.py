@@ -115,6 +115,47 @@ def test_diffusion_train_step_sharded(tiny_setup):
     assert np.isfinite(float(metrics["val/loss"]))
 
 
+def test_flat_update_matches_per_leaf(tiny_setup):
+    """flat_update=True (one raveled clip/adam/EMA kernel) is semantically
+    identical to the per-leaf optax path: after 3 steps params, EMA and the
+    logged grad_norm agree to f32 tolerance (only the global-norm reduction
+    order differs)."""
+    from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        2, tiny_setup["OUT_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).rand(
+        2, tiny_setup["IN_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+
+    def run(flat):
+        tr = DiffusionTrainer(
+            tiny_setup["ld"], tiny_setup["vae_params"],
+            optim_config=dict(lr=1e-3, total_num_steps=10,
+                              gradient_clip_val=1e-3),  # make clip scale bite
+            flat_update=flat,
+        )
+        state = tr.create_state(tiny_setup["unet_params"])
+        norms = []
+        for _ in range(3):
+            state, m = tr.train_step(state, jax.random.PRNGKey(0), x, y)
+            norms.append(float(m["grad_norm"]))
+        return state, norms
+
+    s_flat, n_flat = run(True)
+    s_leaf, n_leaf = run(False)
+    np.testing.assert_allclose(n_flat, n_leaf, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_flat.params),
+                    jax.tree_util.tree_leaves(s_leaf.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s_flat.ema_params),
+                    jax.tree_util.tree_leaves(s_leaf.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+
+
 def test_train_step_rbg_prng(tiny_setup):
     """prng_impl='rbg' (TPU hardware RNG on device; functional on CPU too)
     trains to a finite loss and produces different — but statistically
