@@ -104,6 +104,12 @@ def optim_default() -> Dict:
         # passes for these convs), so default off.
         flat_update=False,
         matmul_precision=None,
+        # conv3d_impl: the 3-D conv lowering for the TRAIN step only.  'auto'
+        # = XLA's native 3-D conv on real TPUs (probe46/48: ~6-10% faster
+        # fwd+dx+dw than the t2d decomposition at B=8 train shapes), t2d
+        # elsewhere; the sampler always keeps t2d (XLA's native path is 2.2x
+        # slower at B=1 on the 8x8x512 stage — probe15/18/48).
+        conv3d_impl="auto",
         method="adamw",
         lr=1.0e-3, wd=1.0e-5, betas=[0.9, 0.999], gradient_clip_val=1.0,
         max_epochs=2000, loss_type="l2", warmup_percentage=0.1,
@@ -162,8 +168,12 @@ def latent_model_default() -> Dict:
         #       "auto" = v4 whole-layer kernel on real TPU backends)
         #   use_pallas_ffn:       False | True | "auto" (default "auto")
         #   use_pallas_gn:        False | True | "auto" (default "auto")
-        # All fused kernels are inference-only and fall back per-layer on
-        # ineligible shapes; see prediff_tpu/ops/pallas_*.py.
+        #   use_pallas_conv:      False | True | "auto" (default "auto" —
+        #       fused 3x3x3 conv on eligible shapes; the trainer's
+        #       optim.conv3d_impl context override wins in the train step)
+        # All fused kernels are differentiable (custom_vjp, round-3) and
+        # fall back per-layer on ineligible shapes; see
+        # prediff_tpu/ops/pallas_*.py.
     )
 
 

@@ -13,6 +13,8 @@ Flax submodule names mirror the torch attribute paths (with list indices
 merged, e.g. torch ``layer.0`` -> flax ``layer_0``) so checkpoint conversion
 is mechanical (see prediff_tpu/utils/convert.py).
 """
+import contextlib
+import contextvars
 import math
 from typing import Optional, Tuple, Union
 
@@ -301,6 +303,25 @@ class TimeEmbedLayer(nn.Module):
 # the same conv; set to "xla" to use lax's native 3-D lowering.
 DEFAULT_CONV3D_IMPL = "t2d"
 
+# Trace-scoped override: the best lowering is CONTEXT-dependent (probe46/48:
+# at the B=8 TRAIN shapes XLA's native 3-D conv beats t2d on fwd+dx+dw,
+# while at B=1 sampling shapes t2d wins) but the same module instances serve
+# both the trainer and the sampler.  ``conv3d_impl(...)`` wraps a trace so
+# every Conv3x3x3 reached under it lowers with the given impl; resolution
+# happens at trace time (like ops/dispatch.py 'auto' flags), so each jitted
+# program independently picks its lowering.
+_CONV3D_IMPL_OVERRIDE = contextvars.ContextVar("conv3d_impl", default=None)
+
+
+@contextlib.contextmanager
+def conv3d_impl(impl: Optional[str]):
+    """Override every ``Conv3x3x3`` lowering inside this (tracing) scope."""
+    token = _CONV3D_IMPL_OVERRIDE.set(impl)
+    try:
+        yield
+    finally:
+        _CONV3D_IMPL_OVERRIDE.reset(token)
+
 
 class Conv3x3x3(nn.Module):
     """3x3x3 stride-1 SAME 3-D convolution with a selectable lowering.
@@ -314,9 +335,16 @@ class Conv3x3x3(nn.Module):
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
     bias_init: nn.initializers.Initializer = nn.initializers.zeros
     impl: Optional[str] = None
+    # fused Pallas kernel on eligible TPU shapes (ops/pallas_conv3d.py —
+    # the B=1 sampling shapes starve the MXU under both XLA lowerings);
+    # an explicit impl / trace-context override takes precedence.
+    use_pallas: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import pallas_conv3d
+        from ..ops.dispatch import resolve_auto
+
         B, T, H, W, C = x.shape
         kernel = self.param("kernel", self.kernel_init, (3, 3, 3, C, self.features))
         bias = self.param("bias", self.bias_init, (self.features,))
@@ -325,7 +353,20 @@ class Conv3x3x3(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         bias = bias.astype(dtype)
-        impl = self.impl or DEFAULT_CONV3D_IMPL
+        impl = self.impl or _CONV3D_IMPL_OVERRIDE.get()
+        if impl is None:
+            if (resolve_auto(self.use_pallas)
+                    and pallas_conv3d.supports_shape(T, H, W, C, self.features)):
+                impl = "pallas"
+            else:
+                impl = DEFAULT_CONV3D_IMPL
+        if impl == "pallas":
+            if not pallas_conv3d.supports_shape(T, H, W, C, self.features):
+                impl = DEFAULT_CONV3D_IMPL  # context override on ineligible shape
+        if impl == "pallas":
+            return pallas_conv3d.fused_conv3x3x3_diff(
+                x, kernel, bias, "bfloat16", jax.default_backend() != "tpu"
+            )
         if impl == "xla":
             out = jax.lax.conv_general_dilated(
                 x, kernel, window_strides=(1, 1, 1),
@@ -371,6 +412,7 @@ class TimeEmbedResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     norm_groups: int = 32
     use_pallas: Union[bool, str] = False
+    use_pallas_conv: Union[bool, str] = False
 
     def _gn_silu(self, x: jnp.ndarray, name: str, groups: int,
                  emb2d: Optional[jnp.ndarray], deterministic: bool) -> jnp.ndarray:
@@ -414,11 +456,13 @@ class TimeEmbedResBlock(nn.Module):
 
         h = self._gn_silu(x, "in_layers_0", in_groups, None, deterministic)
         h = Conv3x3x3(out_channels, name="in_layers_2",
-                      kernel_init=conv_init("0"))(h)
+                      kernel_init=conv_init("0"),
+                      use_pallas=self.use_pallas_conv)(h)
 
         out_conv = Conv3x3x3(out_channels, name="out_layers_3",
                              kernel_init=nn.initializers.zeros,
-                             bias_init=nn.initializers.zeros)
+                             bias_init=nn.initializers.zeros,
+                             use_pallas=self.use_pallas_conv)
         drop = nn.Dropout(self.dropout)
 
         if self.use_embed:
@@ -450,7 +494,8 @@ class TimeEmbedResBlock(nn.Module):
             skip = x
         elif self.use_conv:
             skip = Conv3x3x3(out_channels, name="skip_connection",
-                             kernel_init=conv_init("0"))(x)
+                             kernel_init=conv_init("0"),
+                             use_pallas=self.use_pallas_conv)(x)
         else:
             skip = nn.Conv(out_channels, kernel_size=(1, 1, 1), name="skip_connection",
                            kernel_init=conv_init("0"))(x)

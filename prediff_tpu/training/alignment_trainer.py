@@ -12,6 +12,7 @@ from jax.sharding import Mesh
 from ..diffusion import core
 from ..diffusion.schedule import GaussianSchedule, make_gaussian_schedule
 from ..diffusion.knowledge_alignment import avg_x_objective
+from ..models.layers import conv3d_impl
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from ..utils.distributions import DiagonalGaussianDistribution
 from .train_state import EmaTrainState
@@ -35,6 +36,7 @@ class AlignmentTrainer:
         prng_impl=None,
         flat_update: bool = False,
         matmul_precision: Optional[str] = None,
+        conv3d_impl: Optional[str] = None,
     ):
         self.model_apply = model_apply
         self.vae_apply_encode = vae_apply_encode
@@ -51,6 +53,9 @@ class AlignmentTrainer:
         # bf16 MXU operands on real TPUs
         self.flat_update = flat_update
         self.matmul_precision = matmul_precision
+        # see DiffusionTrainer: train-batch shapes prefer XLA's native 3-D
+        # conv lowering (probe46/48); 'auto' = native on real TPUs
+        self.conv3d_impl = conv3d_impl
         self._train_step = None
 
     def create_state(self, params) -> EmaTrainState:
@@ -72,6 +77,13 @@ class AlignmentTrainer:
 
     def loss_fn(self, params, rng, x, y, train: bool = True):
         """x: target pixel seq (B,T_out,H,W,C); y: context seq (B,T_in,H,W,C)."""
+        impl = self.conv3d_impl
+        if impl == "auto":
+            impl = "xla" if jax.default_backend() == "tpu" else None
+        with conv3d_impl(impl):
+            return self._loss_fn(params, rng, x, y, train)
+
+    def _loss_fn(self, params, rng, x, y, train: bool = True):
         rng_enc, rng_t, rng_noise, rng_drop = jax.random.split(rng, 4)
         z = jax.lax.stop_gradient(self._encode(x, rng_enc, sample=True))
         zc = jax.lax.stop_gradient(self._encode(y, None, sample=False))

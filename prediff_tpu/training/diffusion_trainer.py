@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..diffusion.latent_diffusion import LatentDiffusion
+from ..models.layers import conv3d_impl
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from .train_state import EmaTrainState
 from .optim import build_optimizer
@@ -36,6 +37,7 @@ class DiffusionTrainer:
         prng_impl=None,
         flat_update: bool = False,
         matmul_precision: Optional[str] = None,
+        conv3d_impl: Optional[str] = None,
     ):
         self.ld = ld
         self.vae_params = vae_params
@@ -56,6 +58,12 @@ class DiffusionTrainer:
         # convs' MXU passes in bf16), so default None; kept for configs
         # where XLA's own demotion is less aggressive.
         self.matmul_precision = matmul_precision
+        # Per-CONTEXT 3-D conv lowering: at the B>=8 train shapes XLA's
+        # native 3-D conv beats the t2d decomposition on fwd+dx+dw
+        # (probe46/48) while t2d stays the sampler default (B=1 layout
+        # pathology, probe15/18-19).  'auto' = native on real TPUs; None
+        # keeps the module default.
+        self.conv3d_impl = conv3d_impl
         self._train_step = None
         self._val_step = None
 
@@ -63,6 +71,11 @@ class DiffusionTrainer:
         if self.matmul_precision == "auto":
             return "bfloat16" if jax.default_backend() == "tpu" else None
         return self.matmul_precision
+
+    def _resolved_conv3d_impl(self) -> Optional[str]:
+        if self.conv3d_impl == "auto":
+            return "xla" if jax.default_backend() == "tpu" else None
+        return self.conv3d_impl
 
     def create_state(self, unet_params) -> EmaTrainState:
         params = {"unet": unet_params}
@@ -85,10 +98,13 @@ class DiffusionTrainer:
         loss_fn = self.ld.training_loss
         if train and self.remat_unet:
             loss_fn = jax.checkpoint(loss_fn, static_argnums=(6, 7))
-        return loss_fn(
-            params["unet"], logvar, self.vae_params, rng, x, y,
-            train, prefix,
-        )
+        # conv3d_impl(...) resolves at trace time, so the train/val programs
+        # pick their 3-D conv lowering independently of the sampler's.
+        with conv3d_impl(self._resolved_conv3d_impl()):
+            return loss_fn(
+                params["unet"], logvar, self.vae_params, rng, x, y,
+                train, prefix,
+            )
 
     def make_train_step(self):
         from jax.flatten_util import ravel_pytree

@@ -109,6 +109,7 @@ def main():
         prng_impl=cfg.optim.get("prng_impl", "auto"),
         flat_update=cfg.optim.get("flat_update", False),
         matmul_precision=cfg.optim.get("matmul_precision", None),
+        conv3d_impl=cfg.optim.get("conv3d_impl", "auto"),
     )
     state = trainer.create_state(model_params)
     in_slice, out_slice = layout_to_in_out_slice(

@@ -101,6 +101,7 @@ def tiny_pipeline_pallas():
             base_units=128, depth=[1], block_attn_patterns="full", num_heads=2,
             padding_type="zeros", ffn_activation="gelu",
             use_pallas_ffn=pallas, use_pallas_gn=pallas,
+            use_pallas_conv=pallas,
             use_pallas_attention="layer" if pallas else False,
         )
 
@@ -238,8 +239,11 @@ def test_shard_map_ensemble_with_kernels(tiny_pipeline_pallas):
     ens_sm = ld_pallas.sample_ensemble(params, vae_params, rng, y,
                                        num_samples=4, mesh=mesh)
     assert ens_sm.shape == (4, 2, 2, IMG, IMG, 1)
+    # kernels-on tolerance (cf. test_shard_map_partitions_pallas_calls):
+    # sharded and unsharded are different XLA programs, and the kernels'
+    # bf16 MXU operands amplify fusion-order rounding over the chain
     np.testing.assert_allclose(np.asarray(ens_sm), np.asarray(ens_plain),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-2, atol=1e-3)
 
 
 def test_prefetch_to_device():

@@ -72,6 +72,46 @@ def test_scan_unroll_matches(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_conv3d_impl_xla_matches_t2d(setup):
+    """optim.conv3d_impl: per-context 3-D conv lowering (probe46/48 — XLA's
+    native 3-D conv wins at train shapes, t2d at B=1 sampling shapes).  The
+    override must (a) actually change the lowering and (b) be numerically
+    the same conv."""
+    ld, unet_params, vae_params, x, y = setup
+    rng = jax.random.PRNGKey(5)
+    t2d = DiffusionTrainer(ld, vae_params,
+                           optim_config=dict(lr=1e-3, total_num_steps=10))
+    xla = DiffusionTrainer(ld, vae_params,
+                           optim_config=dict(lr=1e-3, total_num_steps=10),
+                           conv3d_impl="xla")
+    # (a) the traced programs differ: the native path emits 3-D SAME-padded
+    # conv windows (stride [1,1,1] with pad [1,1] on the leading/temporal
+    # spatial dim); t2d only ever pads 2 spatial dims (the 1x1x1 skip conv
+    # is 3-D in both but zero-padded, so it doesn't match)
+    native3d = "window = {stride = [1, 1, 1], pad = [[1, 1]"
+    s0 = t2d.create_state(unet_params)
+    hlo_t2d = t2d.make_train_step().lower(s0, rng, x, y).as_text()
+    hlo_xla = xla.make_train_step().lower(s0, rng, x, y).as_text()
+    assert native3d not in hlo_t2d and "[0, 1, i, o]" in hlo_t2d
+    assert native3d in hlo_xla
+    # (b) same numbers
+    s0 = t2d.create_state(unet_params)
+    s1 = xla.create_state(unet_params)
+    s0, m0 = t2d.train_step(s0, rng, x, y)
+    s1, m1 = xla.train_step(s1, rng, x, y)
+    assert float(m0["train/loss"]) == pytest.approx(float(m1["train/loss"]), rel=1e-5)
+    w0 = jax.tree_util.tree_leaves(s0.params)[0]
+    w1 = jax.tree_util.tree_leaves(s1.params)[0]
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), rtol=1e-4, atol=1e-5)
+    # 'auto' resolves at trace time: on CPU it keeps the module default (t2d)
+    auto = DiffusionTrainer(ld, vae_params,
+                            optim_config=dict(lr=1e-3, total_num_steps=10),
+                            conv3d_impl="auto")
+    if jax.default_backend() != "tpu":
+        hlo_auto = auto.make_train_step().lower(s0, rng, x, y).as_text()
+        assert native3d not in hlo_auto
+
+
 def test_compute_dtype_bf16_sampling(setup):
     ld, unet_params, vae_params, x, y = setup
     import jax.numpy as jnp
