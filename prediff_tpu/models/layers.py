@@ -356,12 +356,12 @@ class Conv3x3x3(nn.Module):
         impl = self.impl or _CONV3D_IMPL_OVERRIDE.get()
         if impl is None:
             if (resolve_auto(self.use_pallas)
-                    and pallas_conv3d.supports_shape(T, H, W, C, self.features)):
+                    and pallas_conv3d.supports_shape(T, H, W, C, self.features, B)):
                 impl = "pallas"
             else:
                 impl = DEFAULT_CONV3D_IMPL
         if impl == "pallas":
-            if not pallas_conv3d.supports_shape(T, H, W, C, self.features):
+            if not pallas_conv3d.supports_shape(T, H, W, C, self.features, B):
                 impl = DEFAULT_CONV3D_IMPL  # context override on ineligible shape
         if impl == "pallas":
             return pallas_conv3d.fused_conv3x3x3_diff(

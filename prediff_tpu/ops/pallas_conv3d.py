@@ -1,26 +1,32 @@
 """Fused 3x3x3 stride-1 SAME conv Pallas TPU kernel (round-3).
 
-Motivation (probe48/50): at the B=1 sampling shapes XLA runs the UNet's
-3-D convs at only ~19 TF/s — the t2d decomposition's (B*T,16,16,C) im2col
-matmuls are too small to fill the MXU, and lax's native 3-D conv is worse
-(9 TF/s at the 8x8x512 stage, the probe15 layout pathology).  The conv
-budget is ~2.3 ms of the 5.99 ms sampling step — the largest single
-headline lever left after round 2.
+Purpose — op-COUNT reduction on the guidance path, not FLOPs.  probe47b:
+the knowledge-alignment mean shift costs ~966 us device/step and half of
+it is while-loop sequencing across ~500 tiny ops; each t2d conv site is
+~8-11 tiny ops (3 2-D convs + pad/reshape glue), the largest op-count
+block.  This kernel is ONE op per conv site (one more for the fused dx
+under the guidance gradient).
 
-Kernel design — reshape-free shifted-row accumulation:
+HONEST NEGATIVE for raw speed (probe50/53): at the B=1 UNet sampling
+shapes this kernel is ~1.5x SLOWER than t2d per site (130 vs 88.5 us true
+at stage 0) — t2d already runs at ~133 TF/s there, near the v5e bf16
+roofline.  Probes 48/50/51/52's apparent "t2d is MXU-starved at B=1"
+readings were an artifact of K=50 benchmark scans: the relay's fixed
+~24-34 ms dispatch+fetch cost divided by K inflated every per-iter number
+by ~600 us (probe53 quantifies it; CLAUDE.md's N>=1000 rule exists for
+exactly this).  So: keep t2d for the UNet; use this kernel where op count
+dominates (the tiny alignment net under guidance).
+
+Kernel design — reshape-free shifted-row im2col GEMM:
 
   * Zero-pad the (T,H,W,C) volume by 1 on each spatial side and flatten to
     rows (R = Tp*Hp*Wp, C) with C on lanes.
   * Output token (t,h,w) lives at padded-space row r = (t*Hp+h)*Wp + w and
     needs input row r + OFF(dt,dh,dw), OFF = (dt*Hp+dh)*Wp+dw.
-  * So each of the 27 taps is one uniform row-shifted MXU dot:
-
-        acc[0:rt] += xp[i*rt+OFF : i*rt+OFF+rt] @ w[tap]   # f32 accumulate
-
-    — static-size dynamic sublane slices, no reshapes, no gathers, bf16
-    operands.  The padded-space FLOP waste (R/THW, ~1.5x at 16x16x13) is
-    the price of perfectly MXU-shaped dots; measured ~3-5x faster than the
-    t2d path at B=1 (probe50).
+  * Per row-tile: one aligned window load, 27 STATIC tap slices staged
+    through VMEM scratch into an im2col block (rt, 27C), ONE big-K GEMM
+    (probe51: per-tap (rt,C)@(C,OC) dots cap at ~23 TF/s on weight-reload
+    latency; K=27C GEMMs reach 60-100 TF/s).
   * Valid rows are extracted OUTSIDE the kernel by XLA (a slice of the
     (Tp,Hp,Wp,OC) reshape, fused into consumers).
 
@@ -41,6 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _plan(T: int, H: int, W: int, C: int, OC: int,
@@ -52,9 +59,20 @@ def _plan(T: int, H: int, W: int, C: int, OC: int,
     R = Tp * Hp * Wp
     off_max = 2 * Hp * Wp + 2 * Wp + 2
     L = R - off_max
-    n_rows = -(-L // 1024)
-    per = -(-L // n_rows)
-    rt = -(-per // 16) * 16  # ceil(L/n_rows) rounded up to sublane multiple
+    # rt sized so the in-VMEM im2col block (rt, 27C) stays under ~4.5 MB
+    # (probe51: only big-K GEMMs reach 60-100 TF/s on v5e; per-tap
+    # (rt,C)@(C,OC) dots cap at ~23 TF/s on MXU weight-reload latency)
+    def ceil16(v):
+        return -(-v // 16) * 16
+
+    rt_cap = (4_500_000 // (27 * C * bytes_per_el)) // 16 * 16
+    if rt_cap < 16:
+        return None
+    n_rows = -(-L // rt_cap)
+    rt = min(rt_cap, ceil16(-(-L // n_rows)))
+    while n_rows * rt < L:  # ceil16-vs-cap rounding interplay
+        n_rows += 1
+        rt = min(rt_cap, ceil16(-(-L // n_rows)))
     oc_tile = OC
     while oc_tile > 128 and 27 * C * oc_tile * bytes_per_el > 6 * 1024 * 1024:
         oc_tile //= 2
@@ -69,7 +87,8 @@ def _plan(T: int, H: int, W: int, C: int, OC: int,
     return rt, n_rows, oc_tile, Rpad, L
 
 
-def supports_shape(T: int, H: int, W: int, C: int, OC: int) -> bool:
+def supports_shape(T: int, H: int, W: int, C: int, OC: int,
+                   B: int = 1) -> bool:
     from .dispatch import VMEM_BUDGET_BYTES
 
     plan = _plan(T, H, W, C, OC)
@@ -77,26 +96,33 @@ def supports_shape(T: int, H: int, W: int, C: int, OC: int) -> bool:
         return False
     rt, n_rows, oc_tile, Rpad, L = plan
     off_pad = Rpad - n_rows * rt
+    # B>1: the padded-input block is re-fetched per batch element, so the
+    # pipeline double-buffers it (measured: stage0 B=8 overflowed the 16 MB
+    # scoped limit while B=1 compiled fine)
+    xp_bufs = 2 if B > 1 else 1
     bytes_ = (
-        Rpad * C * 2          # resident padded input (bf16)
+        xp_bufs * Rpad * C * 2  # resident padded input (bf16)
         + 27 * C * oc_tile * 2  # resident weight block (bf16)
-        + rt * oc_tile * (4 + 4 + 2)  # acc + out tile + a live dot operand
-        + (rt + off_pad) * C * 2 * 2  # loaded window + a live tap slice
+        + rt * 27 * C * 2       # in-VMEM im2col scratch
+        + (rt + off_pad) * C * 2  # loaded window
+        + rt * oc_tile * (4 + 2 * 4)  # acc + double-buffered out tile
     )
     return bytes_ <= VMEM_BUDGET_BYTES
 
 
-def _conv_kernel(xp_ref, w_ref, b_ref, o_ref, *, offs, rt, off_pad):
+def _conv_kernel(xp_ref, w_ref, b_ref, o_ref, xcat_ref, *, offs, rt, off_pad):
     i = pl.program_id(2)
+    C = xp_ref.shape[2]
     # one aligned windowed load (i*rt is a multiple of 16), then STATIC
-    # unaligned tap slices of the loaded value
+    # unaligned tap slices staged through VMEM scratch (the stores normalize
+    # each slice's sublane-offset layout — tpu.concatenate can't) into an
+    # in-VMEM im2col block feeding ONE big-K GEMM (probe51: per-tap dots
+    # cap at ~23 TF/s on weight-reload latency; K=27C GEMMs reach 60-100)
     win = xp_ref[0, pl.ds(i * rt, rt + off_pad), :]
-    acc = jnp.zeros((rt, w_ref.shape[2]), jnp.float32)
     for tap, off in enumerate(offs):
-        xs = win[off:off + rt]
-        acc = acc + jax.lax.dot(
-            xs, w_ref[tap], preferred_element_type=jnp.float32
-        )
+        xcat_ref[:, tap * C:(tap + 1) * C] = win[off:off + rt]
+    acc = jax.lax.dot(xcat_ref[...], w_ref[...],
+                      preferred_element_type=jnp.float32)
     o_ref[0] = (acc + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
@@ -117,18 +143,19 @@ def fused_conv3x3x3(x, kernel, bias, mxu_dtype_name: str = "bfloat16",
     dot_dtype = jnp.dtype(mxu_dtype_name)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))).reshape(B, R, C)
     xp = jnp.pad(xp, ((0, 0), (0, Rpad - R), (0, 0))).astype(dot_dtype)
-    w = kernel.reshape(27, C, OC).astype(dot_dtype)
+    w = kernel.reshape(27 * C, OC).astype(dot_dtype)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, offs=offs, rt=rt,
                           off_pad=Rpad - n_rows * rt),
         grid=(B, OC // oc_tile, n_rows),
         in_specs=[
             pl.BlockSpec((1, Rpad, C), lambda b, j, i: (b, 0, 0)),
-            pl.BlockSpec((27, C, oc_tile), lambda b, j, i: (0, 0, j)),
+            pl.BlockSpec((27 * C, oc_tile), lambda b, j, i: (0, j)),
             pl.BlockSpec((1, oc_tile), lambda b, j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((1, rt, oc_tile), lambda b, j, i: (b, i, j)),
         out_shape=jax.ShapeDtypeStruct((B, n_rows * rt, OC), x.dtype),
+        scratch_shapes=[pltpu.VMEM((rt, 27 * C), dot_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 27 * B * n_rows * rt * C * OC,
             bytes_accessed=(B * Rpad * C + 27 * C * OC) * 2
@@ -163,7 +190,7 @@ def _diff_bwd(mxu_dtype_name, interpret, res, g):
     OC = kernel.shape[-1]
     # dx: SAME conv of the cotangent with flipped taps, in/out chans swapped
     k_t = kernel[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
-    if supports_shape(*g.shape[1:], k_t.shape[-1]):
+    if supports_shape(*g.shape[1:], k_t.shape[-1], B=g.shape[0]):
         dx = fused_conv3x3x3(g, k_t, jnp.zeros((k_t.shape[-1],), g.dtype),
                              mxu_dtype_name=mxu_dtype_name,
                              interpret=interpret)
