@@ -105,10 +105,10 @@ def optim_default() -> Dict:
         flat_update=False,
         matmul_precision=None,
         # conv3d_impl: the 3-D conv lowering for the TRAIN step only.  'auto'
-        # = XLA's native 3-D conv on real TPUs (probe46/48: ~6-10% faster
-        # fwd+dx+dw than the t2d decomposition at B=8 train shapes), t2d
-        # elsewhere; the sampler always keeps t2d (XLA's native path is 2.2x
-        # slower at B=1 on the 8x8x512 stage — probe15/18/48).
+        # = XLA's native 3-D conv on real TPUs when the per-device batch is
+        # >= 8 (probe49: +3.6% whole-step at B=8 but -7.6% at B=2, where
+        # t2d's folded-T batching wins), t2d elsewhere; the sampler always
+        # keeps t2d (near-roofline ~133 TF/s at B=1, probe53).
         conv3d_impl="auto",
         method="adamw",
         lr=1.0e-3, wd=1.0e-5, betas=[0.9, 0.999], gradient_clip_val=1.0,

@@ -7,6 +7,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from ..diffusion import core
@@ -79,7 +80,11 @@ class AlignmentTrainer:
         """x: target pixel seq (B,T_out,H,W,C); y: context seq (B,T_in,H,W,C)."""
         impl = self.conv3d_impl
         if impl == "auto":
-            impl = "xla" if jax.default_backend() == "tpu" else None
+            # per-device batch >= 8: see DiffusionTrainer (probe49 crossover)
+            n_shards = (1 if self.mesh is None
+                        else int(np.prod(self.mesh.devices.shape)))
+            big = x.shape[0] // n_shards >= 8
+            impl = ("xla" if jax.default_backend() == "tpu" and big else None)
         with conv3d_impl(impl):
             return self._loss_fn(params, rng, x, y, train)
 

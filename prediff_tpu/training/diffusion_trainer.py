@@ -8,6 +8,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from ..diffusion.latent_diffusion import LatentDiffusion
@@ -72,9 +73,14 @@ class DiffusionTrainer:
             return "bfloat16" if jax.default_backend() == "tpu" else None
         return self.matmul_precision
 
-    def _resolved_conv3d_impl(self) -> Optional[str]:
+    def _resolved_conv3d_impl(self, local_batch: int) -> Optional[str]:
+        """'auto': native XLA 3-D conv only when the per-device batch is
+        large enough to fill its im2col GEMMs (probe49: +3.6% whole-step at
+        B=8 but -7.6% at B=2, where t2d's folded-T batching wins)."""
         if self.conv3d_impl == "auto":
-            return "xla" if jax.default_backend() == "tpu" else None
+            if jax.default_backend() == "tpu" and local_batch >= 8:
+                return "xla"
+            return None
         return self.conv3d_impl
 
     def create_state(self, unet_params) -> EmaTrainState:
@@ -100,7 +106,9 @@ class DiffusionTrainer:
             loss_fn = jax.checkpoint(loss_fn, static_argnums=(6, 7))
         # conv3d_impl(...) resolves at trace time, so the train/val programs
         # pick their 3-D conv lowering independently of the sampler's.
-        with conv3d_impl(self._resolved_conv3d_impl()):
+        n_shards = (1 if self.mesh is None
+                    else int(np.prod(self.mesh.devices.shape)))
+        with conv3d_impl(self._resolved_conv3d_impl(x.shape[0] // n_shards)):
             return loss_fn(
                 params["unet"], logvar, self.vae_params, rng, x, y,
                 train, prefix,
