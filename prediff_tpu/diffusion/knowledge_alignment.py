@@ -13,6 +13,7 @@ from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -35,6 +36,20 @@ class KnowledgeAlignment:
     guide_scale: float = struct.field(pytree_node=False, default=1.0)
     apply_fn: Callable = struct.field(pytree_node=False, default=None)
     alignment_type: str = struct.field(pytree_node=False, default="avg_x")
+    # dtype for the guidance-shift computation.  'auto' = bfloat16 on real
+    # TPUs: the shift is guide_scale * a normalized gradient direction added
+    # to the DDPM mean, so low precision is tolerable, and bf16 halves the
+    # HBM traffic of the alignment net's many small fwd+bwd ops (probe47b:
+    # the shift is sequencing/bandwidth-bound, not FLOPs-bound).  'float32'
+    # restores the reference-precision path.
+    compute_dtype: str = struct.field(pytree_node=False, default="float32")
+
+    def _resolved_dtype(self):
+        if self.compute_dtype == "auto":
+            import jax as _jax
+
+            return jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
+        return jnp.dtype(self.compute_dtype)
 
     def predict(self, zt, t, zc=None, y=None):
         return self.apply_fn({"params": self.params}, zt, t, zc=zc, y=y)
@@ -45,14 +60,29 @@ class KnowledgeAlignment:
         squared error is psum'd across the mesh before the sqrt so the
         batch-coupled energy matches the unsharded computation exactly."""
         pred = self.predict(zt, t, zc=zc, y=y)  # (B, T, 1)
-        pred = pred.mean(axis=1)  # (B, 1)
-        sq = jnp.sum(jnp.square(pred - avg_x_gt))
+        # the scalar tail stays f32 regardless of compute dtype (a bf16
+        # sqrt-eps underflows and its gradient blows up at sq ~ 0)
+        pred = pred.astype(jnp.float32).mean(axis=1)  # (B, 1)
+        sq = jnp.sum(jnp.square(pred - avg_x_gt.astype(jnp.float32)))
         if axis_name is not None:
             sq = jax.lax.psum(sq, axis_name)
         return jnp.sqrt(sq + 1e-24)
 
     def get_mean_shift(self, zt, t, avg_x_gt, zc=None, y=None, axis_name=None):
         """guide_scale * d(energy)/d(z_t), computed in-graph."""
+        dtype = self._resolved_dtype()
+        if dtype != zt.dtype:
+            low = self.replace(
+                params=jax.tree_util.tree_map(
+                    lambda p: p.astype(dtype), self.params),
+                compute_dtype=str(np.dtype(dtype)),
+            )
+            zc_l = None if zc is None else zc.astype(dtype)
+            grad = jax.grad(
+                lambda z: low.alignment_energy(z, t, avg_x_gt, zc=zc_l, y=y,
+                                               axis_name=axis_name)
+            )(zt.astype(dtype))
+            return self.guide_scale * grad.astype(zt.dtype)
         grad = jax.grad(
             lambda z: self.alignment_energy(z, t, avg_x_gt, zc=zc, y=y,
                                             axis_name=axis_name)

@@ -198,6 +198,8 @@ def build_pipeline(
             guide_scale=cfg.model.align.guide_scale,
             apply_fn=align_model.apply,
             alignment_type=cfg.model.align.alignment_type,
+            # optional key (kept out of the defaults tree like use_pallas_*)
+            compute_dtype=cfg.model.align.get("compute_dtype", "auto"),
         )
 
     ld = LatentDiffusion(

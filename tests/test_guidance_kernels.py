@@ -73,3 +73,30 @@ def test_guidance_mean_shift_matches_xla_path(setup):
     np.testing.assert_allclose(np.asarray(s_fused) / denom,
                                np.asarray(s_base) / denom,
                                rtol=5e-2, atol=5e-2)
+
+
+def test_guidance_bf16_compute_dtype(setup):
+    """compute_dtype='bfloat16' guidance: f32 output dtype, finite, and the
+    shift direction matches the f32 path (the shift is a scaled gradient
+    direction, so the bar is directional agreement, not elementwise)."""
+    base, _, params, zt, t = setup
+    avg_x_gt = jnp.asarray([[0.4], [0.6]], jnp.float32)
+    ka32 = KnowledgeAlignment(params=params, guide_scale=1.0,
+                              apply_fn=base.apply)
+    ka16 = KnowledgeAlignment(params=params, guide_scale=1.0,
+                              apply_fn=base.apply, compute_dtype="bfloat16")
+    s32 = ka32.get_mean_shift(zt, t, avg_x_gt)
+    s16 = ka16.get_mean_shift(zt, t, avg_x_gt)
+    assert s16.dtype == zt.dtype
+    assert np.isfinite(np.asarray(s16)).all()
+    a = np.asarray(s32, np.float32).ravel()
+    b = np.asarray(s16, np.float32).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+    # zero-error knowledge (pred == avg exactly) must not blow up the
+    # sqrt-eps gradient in low precision
+    with jax.disable_jit():
+        pred = ka16.predict(zt, t)
+    avg_exact = np.asarray(pred, np.float32).mean(axis=1)
+    s0 = ka16.get_mean_shift(zt, t, jnp.asarray(avg_exact))
+    assert np.isfinite(np.asarray(s0)).all()
