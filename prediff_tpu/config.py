@@ -171,6 +171,11 @@ def latent_model_default() -> Dict:
         #   use_pallas_conv:      False | True | "auto" (default "auto" —
         #       fused 3x3x3 conv on eligible shapes; the trainer's
         #       optim.conv3d_impl context override wins in the train step)
+        #   use_pallas_resblock:  False | True | "auto" (default "auto" —
+        #       whole-TimeEmbedResBlock fused kernel; only small volumes
+        #       fit its VMEM budget, i.e. the alignment network's blocks.
+        #       The same key under model.align.model_args governs the
+        #       alignment network, where it is the guidance op-count lever)
         # All fused kernels are differentiable (custom_vjp, round-3) and
         # fall back per-layer on ineligible shapes; see
         # prediff_tpu/ops/pallas_*.py.

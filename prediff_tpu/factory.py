@@ -60,6 +60,7 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         use_pallas_ffn=m.get("use_pallas_ffn", "auto"),
         use_pallas_gn=m.get("use_pallas_gn", "auto"),
         use_pallas_conv=m.get("use_pallas_conv", False),
+        use_pallas_resblock=m.get("use_pallas_resblock", "auto"),
         self_attn_use_final_proj=m.self_attn_use_final_proj,
         attn_linear_init_mode=m.get("attn_linear_init_mode", "0"),
         ffn_linear_init_mode=m.get("ffn_linear_init_mode", "0"),
@@ -121,6 +122,7 @@ def build_alignment_model(cfg: ConfigDict) -> NoisyCuboidTransformerEncoder:
         use_pallas_ffn=a.get("use_pallas_ffn", "auto"),
         use_pallas_gn=a.get("use_pallas_gn", "auto"),
         use_pallas_conv=a.get("use_pallas_conv", False),
+        use_pallas_resblock=a.get("use_pallas_resblock", "auto"),
         self_attn_use_final_proj=a.self_attn_use_final_proj,
         attn_linear_init_mode=a.get("attn_linear_init_mode", "0"),
         ffn_linear_init_mode=a.get("ffn_linear_init_mode", "0"),

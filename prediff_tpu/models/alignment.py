@@ -99,6 +99,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
     use_pallas_ffn: Union[bool, str] = False
     use_pallas_gn: Union[bool, str] = False
     use_pallas_conv: Union[bool, str] = False
+    use_pallas_resblock: Union[bool, str] = False
     self_attn_use_final_proj: bool = True
     num_global_vectors: int = 0
     use_global_vector_ffn: bool = True
@@ -165,6 +166,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
             use_embed=False,
             use_pallas=self.use_pallas_gn,
             use_pallas_conv=self.use_pallas_conv,
+            use_pallas_resblock=self.use_pallas_resblock,
             name="first_proj",
         )(x, deterministic=deterministic)
 
@@ -222,6 +224,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
                 use_scale_shift_norm=self.time_embed_use_scale_shift_norm,
                 use_pallas=self.use_pallas_gn,
                 use_pallas_conv=self.use_pallas_conv,
+                use_pallas_resblock=self.use_pallas_resblock,
                 name=f"down_time_embed_blocks_{i}",
             )
             for j in range(self.depth[i]):

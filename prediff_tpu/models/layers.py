@@ -413,6 +413,12 @@ class TimeEmbedResBlock(nn.Module):
     norm_groups: int = 32
     use_pallas: Union[bool, str] = False
     use_pallas_conv: Union[bool, str] = False
+    # whole-resblock fused kernel (ops/pallas_resblock.py): ONE Pallas call
+    # forward + ONE backward for the entire GN->SiLU->conv->GN(+emb)->SiLU->
+    # conv->skip body.  Op-count lever for the knowledge-alignment guidance
+    # path; eligible shapes only (identity skip, C%128==0, inactive dropout,
+    # VMEM budget) — the UNet's resblocks exceed the budget and keep t2d.
+    use_pallas_resblock: Union[bool, str] = False
 
     def _gn_silu(self, x: jnp.ndarray, name: str, groups: int,
                  emb2d: Optional[jnp.ndarray], deterministic: bool) -> jnp.ndarray:
@@ -443,6 +449,51 @@ class TimeEmbedResBlock(nn.Module):
         h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)(h)
         return jax.nn.silu(h)
 
+    def _fused_resblock(self, x, emb, deterministic, out_channels, groups):
+        """Whole-block fused Pallas path (or None).  Exact param tree of the
+        standard path; dropout must be inactive (the kernel computes the
+        deterministic function)."""
+        from ..ops import pallas_resblock
+        from ..ops.dispatch import resolve_auto
+
+        B, T, H, W, C = x.shape
+        if not (
+            resolve_auto(self.use_pallas_resblock)
+            and not self.use_scale_shift_norm
+            and out_channels == self.channels
+            and (deterministic or self.dropout == 0.0)
+            and pallas_resblock.supports_shape(T, H, W, C, out_channels,
+                                               groups, B=B)
+        ):
+            return None
+        if self.use_embed:
+            assert emb is not None and self.emb_channels is not None
+            emb_out = nn.Dense(
+                out_channels, name="emb_layers_1", kernel_init=linear_init("0")
+            )(jax.nn.silu(emb))
+        else:
+            emb_out = jnp.zeros((B, out_channels), x.dtype)
+        (g1s, g1b) = _ParamHolder(
+            leaves=(("scale", (C,), nn.initializers.ones),
+                    ("bias", (C,), nn.initializers.zeros)),
+            name="in_layers_0")()
+        (k1, b1) = _ParamHolder(
+            leaves=(("kernel", (3, 3, 3, C, out_channels), conv_init("0")),
+                    ("bias", (out_channels,), nn.initializers.zeros)),
+            name="in_layers_2")()
+        (g2s, g2b) = _ParamHolder(
+            leaves=(("scale", (out_channels,), nn.initializers.ones),
+                    ("bias", (out_channels,), nn.initializers.zeros)),
+            name="out_layers_0")()
+        (k2, b2) = _ParamHolder(
+            leaves=(("kernel", (3, 3, 3, out_channels, out_channels),
+                     nn.initializers.zeros),
+                    ("bias", (out_channels,), nn.initializers.zeros)),
+            name="out_layers_3")()
+        return pallas_resblock.fused_resblock_diff(
+            x, emb_out, k1, b1, k2, b2, g1s, g1b, g2s, g2b,
+            groups, 1e-5, "bfloat16", jax.default_backend() != "tpu")
+
     @nn.compact
     def __call__(
         self,
@@ -453,6 +504,11 @@ class TimeEmbedResBlock(nn.Module):
         out_channels = self.out_channels or self.channels
         in_groups = self.norm_groups if self.channels % self.norm_groups == 0 else self.channels
         out_groups = self.norm_groups if out_channels % self.norm_groups == 0 else out_channels
+
+        fused = self._fused_resblock(x, emb, deterministic, out_channels,
+                                     in_groups)
+        if fused is not None:
+            return fused
 
         h = self._gn_silu(x, "in_layers_0", in_groups, None, deterministic)
         h = Conv3x3x3(out_channels, name="in_layers_2",

@@ -34,7 +34,7 @@ def setup():
     base = NoisyCuboidTransformerEncoder(**KW)
     fused = NoisyCuboidTransformerEncoder(
         use_pallas_attention="layer", use_pallas_ffn=True, use_pallas_gn=True,
-        use_pallas_conv=True,
+        use_pallas_conv=True, use_pallas_resblock=True,
         **KW,
     )
     rng = jax.random.PRNGKey(0)
