@@ -12,12 +12,20 @@ import numpy as np
 
 
 class MetricLogger:
-    """Append-only jsonl logger + optional TensorBoard."""
+    """Append-only jsonl logger + optional TensorBoard + optional WandB.
 
-    def __init__(self, save_dir: str, use_tensorboard: bool = False):
+    The reference attaches TensorBoardLogger/CSVLogger always and
+    WandbLogger when ``logging.use_wandb`` (train_sevirlr_prediff.py:627-634);
+    here jsonl is the always-on CSV equivalent and both extras are
+    import-gated so offline hosts degrade silently."""
+
+    def __init__(self, save_dir: str, use_tensorboard: bool = False,
+                 use_wandb: bool = False, run_name: Optional[str] = None,
+                 config: Optional[Dict[str, Any]] = None):
         os.makedirs(save_dir, exist_ok=True)
         self.path = os.path.join(save_dir, "metrics.jsonl")
         self._tb = None
+        self._wandb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter  # noqa
@@ -25,6 +33,15 @@ class MetricLogger:
                 self._tb = SummaryWriter(save_dir)
             except Exception:
                 self._tb = None
+        if use_wandb:
+            try:
+                import wandb  # not in the baked image; gate, don't require
+
+                self._wandb = wandb.init(
+                    project=run_name or os.path.basename(save_dir) or "prediff",
+                    dir=save_dir, config=config, resume="allow")
+            except Exception:
+                self._wandb = None
 
     def log(self, step: int, metrics: Dict[str, Any], prefix: str = ""):
         rec = {"step": int(step), "time": time.time()}
@@ -36,6 +53,9 @@ class MetricLogger:
                 continue
             if self._tb is not None:
                 self._tb.add_scalar(key, rec[key], step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: v for k, v in rec.items() if k != "step"}, step=rec["step"])
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
@@ -123,13 +143,14 @@ def fit(
     early_stop_patience: int = 100,
     log_every_n_steps: int = 50,
     max_steps: Optional[int] = None,
+    logger: Optional[MetricLogger] = None,
 ):
     """Run the loop; returns the final state.
 
     ``train_batches_fn(epoch)`` yields host batches; ``make_batch_args(batch)``
     maps a host batch to the positional args of ``train_step`` after
     ``(state, rng)``."""
-    logger = MetricLogger(save_dir)
+    logger = logger if logger is not None else MetricLogger(save_dir)
     tracker = CheckpointTracker(save_dir, monitor, monitor_mode, save_top_k)
     stopper = EarlyStopper(early_stop_patience, monitor_mode, early_stop)
     global_step = int(jax.device_get(state.step))

@@ -115,7 +115,9 @@ def main():
     in_slice, out_slice = layout_to_in_out_slice(
         cfg.layout.layout, cfg.layout.in_len, cfg.layout.out_len
     )
-    logger = MetricLogger(save_dir)
+    logger = MetricLogger(
+        save_dir, use_wandb=cfg.logging.use_wandb,
+        run_name=cfg.logging.logging_prefix, config=cfg.to_dict())
     step = 0
     for epoch in range(cfg.optim.max_epochs):
         for b in dm.train_batches(epoch):

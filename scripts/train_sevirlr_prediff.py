@@ -277,6 +277,9 @@ def main():
             ))
         return out
 
+    logger = MetricLogger(
+        save_dir, use_wandb=cfg.logging.use_wandb,
+        run_name=cfg.logging.logging_prefix, config=cfg.to_dict())
     state = fit(
         state=state,
         train_step=trainer.train_step,
@@ -292,6 +295,7 @@ def main():
         early_stop=cfg.optim.early_stop,
         early_stop_patience=cfg.optim.early_stop_patience,
         max_steps=args.max_steps,
+        logger=logger,
     )
     save_checkpoint(os.path.join(save_dir, "ckpt_last"), state)
     print(f"training done at step {int(jax.device_get(state.step))}; "

@@ -101,7 +101,9 @@ def main():
     gen_state, disc_state, batch_stats = trainer.create_states(
         rng, jnp.zeros((1, H, H, cfg.model.vae.in_channels))
     )
-    logger = MetricLogger(save_dir)
+    logger = MetricLogger(
+        save_dir, use_wandb=cfg.logging.use_wandb,
+        run_name=cfg.logging.logging_prefix, config=cfg.to_dict())
     step = 0
     for epoch in range(cfg.optim.max_epochs):
         for b in dm.train_batches(epoch):

@@ -180,3 +180,15 @@ def test_params_npz_roundtrip(tmp_path):
     loaded = load_params_npz(path)
     np.testing.assert_allclose(loaded["a"]["kernel"], params["a"]["kernel"])
     np.testing.assert_allclose(loaded["b"]["nested"]["bias"], np.ones(5))
+
+
+def test_metric_logger_wandb_gated_offline(tmp_path):
+    """use_wandb on a host without the wandb package degrades silently to
+    jsonl (+ the record is still written)."""
+    lg = MetricLogger(str(tmp_path), use_wandb=True, run_name="t",
+                      config={"a": 1})
+    lg.log(3, {"loss": 1.5, "skipme": "str"})
+    import json as _json
+
+    rec = _json.loads(open(tmp_path / "metrics.jsonl").read().strip())
+    assert rec["step"] == 3 and rec["loss"] == 1.5 and "skipme" not in rec

@@ -101,7 +101,7 @@ def tiny_pipeline_pallas():
             base_units=128, depth=[1], block_attn_patterns="full", num_heads=2,
             padding_type="zeros", ffn_activation="gelu",
             use_pallas_ffn=pallas, use_pallas_gn=pallas,
-            use_pallas_conv=pallas,
+            use_pallas_conv=pallas, use_pallas_resblock=pallas,
             use_pallas_attention="layer" if pallas else False,
         )
 
