@@ -37,11 +37,11 @@ class KnowledgeAlignment:
     apply_fn: Callable = struct.field(pytree_node=False, default=None)
     alignment_type: str = struct.field(pytree_node=False, default="avg_x")
     # dtype for the guidance-shift computation.  'auto' = bfloat16 on real
-    # TPUs: the shift is guide_scale * a normalized gradient direction added
-    # to the DDPM mean, so low precision is tolerable, and bf16 halves the
-    # HBM traffic of the alignment net's many small fwd+bwd ops (probe47b:
-    # the shift is sequencing/bandwidth-bound, not FLOPs-bound).  'float32'
-    # restores the reference-precision path.
+    # TPUs; numerically safe (the shift is guide_scale * a normalized
+    # gradient direction, and the scalar sqrt tail stays f32) but measured
+    # slightly SLOWER in-chain than f32 (probe58: 130.6-131.3 vs 132.3-132.5
+    # guided steps/s — the overhead is op sequencing, not HBM traffic), so
+    # the factory default is 'float32'.
     compute_dtype: str = struct.field(pytree_node=False, default="float32")
 
     def _resolved_dtype(self):

@@ -200,8 +200,11 @@ def build_pipeline(
             guide_scale=cfg.model.align.guide_scale,
             apply_fn=align_model.apply,
             alignment_type=cfg.model.align.alignment_type,
-            # optional key (kept out of the defaults tree like use_pallas_*)
-            compute_dtype=cfg.model.align.get("compute_dtype", "auto"),
+            # optional key (kept out of the defaults tree like use_pallas_*).
+            # Default f32: probe58 measured the bf16 shift slightly SLOWER
+            # in-chain (130.6-131.3 vs 132.3-132.5 guided steps/s) — the
+            # guidance overhead is op sequencing, not HBM traffic.
+            compute_dtype=cfg.model.align.get("compute_dtype", "float32"),
         )
 
     ld = LatentDiffusion(

@@ -50,6 +50,14 @@ from .pallas_conv3d import conv3x3x3_reference
 
 ET = 128  # elementwise / stats row tile
 
+# Mosaic compiles the kernels' unrolled Python loops with every iteration's
+# temporaries live on the scoped-vmem stack (measured: 23.2 MB for the
+# forward at the (6,16,16,128) alignment shape vs the 16 MB default limit),
+# so the pallas_calls raise the per-kernel VMEM limit and the gates below
+# budget the STACK as well as the declared buffers.
+KERNEL_VMEM_LIMIT = 100 * 1024 * 1024  # v5e VMEM is 128 MiB
+_STACK_HEADROOM = 0.75  # gate stack estimates to 75% of the raised limit
+
 
 def _ceil(a: int, b: int) -> int:
     return -(-a // b)
@@ -115,6 +123,21 @@ def _bwd_bytes(T, H, W, C, B):
     )
 
 
+def _stack_bytes(T, H, W, C, n_gn_passes):
+    """Scoped-vmem STACK estimate for the unrolled loops: every tile
+    iteration's live f32 temporaries stay allocated.  Calibrated on the
+    measured 23.2 MB forward at (6,16,16,128): ~12 live (ET,C) f32 values
+    per elementwise tile plus ~3 live conv windows per row tile."""
+    plan = _plan(T, H, W, C)
+    if plan is None:
+        return None
+    rt, n_rows, off_center, off_pad, Rpad, L, R, offs = plan
+    n_et = Rpad // ET
+    per_pass = 4 * n_et * ET * C * 4          # ~4 live f32 tiles per loop pass
+    conv = 3 * n_rows * (rt + off_pad) * C * 2
+    return n_gn_passes * per_pass + conv
+
+
 def supports_shape(T: int, H: int, W: int, C: int, OC: int,
                    groups: int, B: int = 1) -> bool:
     from .dispatch import VMEM_BUDGET_BYTES
@@ -122,7 +145,12 @@ def supports_shape(T: int, H: int, W: int, C: int, OC: int,
     if OC != C or C % 128 or C % groups:
         return False
     b = _fwd_bytes(T, H, W, C, B)
-    return b is not None and b <= VMEM_BUDGET_BYTES
+    s = _stack_bytes(T, H, W, C, n_gn_passes=3)  # 2 gn-stats + 2 act loops
+    return (
+        b is not None
+        and b <= VMEM_BUDGET_BYTES
+        and b + s <= _STACK_HEADROOM * KERNEL_VMEM_LIMIT
+    )
 
 
 def supports_bwd_shape(T: int, H: int, W: int, C: int,
@@ -132,7 +160,12 @@ def supports_bwd_shape(T: int, H: int, W: int, C: int,
     if C % 128 or C % groups:
         return False
     b = _bwd_bytes(T, H, W, C, B)
-    return b is not None and b <= VMEM_BUDGET_BYTES
+    s = _stack_bytes(T, H, W, C, n_gn_passes=5)  # stats + 2 sum + dv + dx
+    return (
+        b is not None
+        and b <= VMEM_BUDGET_BYTES
+        and b + s <= _STACK_HEADROOM * KERNEL_VMEM_LIMIT
+    )
 
 
 def _row_mask(T, H, W, Rpad) -> np.ndarray:
@@ -482,6 +515,8 @@ def fused_resblock(x, emb, k1, b1, k2, b2, g1s, g1b, g2s, g2b,
             bytes_accessed=3 * B * Rpad * C * 2 + 2 * 27 * C * C * 2,
             transcendentals=4 * B * Rpad * C,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
         interpret=interpret,
     )(xp, emb.reshape(B, 1, C), w1, b1.reshape(1, C), w2, b2.reshape(1, C),
       g1s.reshape(1, C), g1b.reshape(1, C), g2s.reshape(1, C),
@@ -549,6 +584,8 @@ def _fused_resblock_bwd(x, emb, k1, k2, g1s, g1b, g2s, g2b, h2, g,
             bytes_accessed=5 * B * Rpad * C * 2 + 2 * 27 * C * C * 2,
             transcendentals=8 * B * Rpad * C,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
         interpret=interpret,
     )(xp, emb.reshape(B, 1, C), gpad, h2,
       w1t.astype(dot_dtype), w2t.astype(dot_dtype),
