@@ -666,6 +666,18 @@ class SEVIRDataModule:
             self.seed + epoch_seed,
         )
 
+    def train_latent_batches(self, cache, epoch_seed: int = 0):
+        """Latent twin of :meth:`train_batches`: same window order and
+        augmentation stream (rng-for-rng), but yields (moments, frame_mean)
+        from a pre-encoded :class:`~prediff_tpu.datasets.latents.LatentCache`
+        instead of pixels — see datasets/latents.py."""
+        from .latents import iter_latent_batches
+
+        yield from iter_latent_batches(
+            self._trainval, cache, self._train_indices, True, self.aug_mode,
+            self.seed + epoch_seed, self.batch_size,
+        )
+
     def val_batches(self):
         yield from self._iter_batches(self._trainval, self._val_indices, False,
                                       "0", self.seed)

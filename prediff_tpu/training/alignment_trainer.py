@@ -38,6 +38,7 @@ class AlignmentTrainer:
         flat_update: bool = False,
         matmul_precision: Optional[str] = None,
         conv3d_impl: Optional[str] = None,
+        latent_inputs: bool = False,
     ):
         self.model_apply = model_apply
         self.vae_apply_encode = vae_apply_encode
@@ -57,6 +58,10 @@ class AlignmentTrainer:
         # see DiffusionTrainer: train-batch shapes prefer XLA's native 3-D
         # conv lowering (probe46/48); 'auto' = native on real TPUs
         self.conv3d_impl = conv3d_impl
+        # True: the train step takes cached first-stage moments (mx, my) and
+        # the cached per-frame pixel means as the regression target — the
+        # frozen VAE encode drops out of the step (datasets/latents.py)
+        self.latent_inputs = latent_inputs
         self._train_step = None
 
     def create_state(self, params) -> EmaTrainState:
@@ -76,8 +81,20 @@ class AlignmentTrainer:
         z = self.scale_factor * z
         return z.reshape((B, -1) + z.shape[1:])
 
-    def loss_fn(self, params, rng, x, y, train: bool = True):
-        """x: target pixel seq (B,T_out,H,W,C); y: context seq (B,T_in,H,W,C)."""
+    def _latents(self, moments, rng, sample: bool):
+        """Cached encoder moments (B,T,h,w,2c) -> scaled latents; the latent
+        twin of :meth:`_encode` (same flatten/sample/scale order)."""
+        B = moments.shape[0]
+        mom = moments.astype(jnp.float32).reshape((-1,) + moments.shape[2:])
+        posterior = DiagonalGaussianDistribution.from_parameters(mom)
+        z = posterior.sample(rng) if sample else posterior.mode()
+        z = self.scale_factor * z
+        return z.reshape((B, -1) + z.shape[1:])
+
+    def loss_fn(self, params, rng, x, y, train: bool = True, target=None):
+        """x: target pixel seq (B,T_out,H,W,C); y: context seq (B,T_in,H,W,C).
+        With ``latent_inputs``, x/y are cached moments windows and ``target``
+        is the cached per-frame pixel mean (B,T_out,1)."""
         impl = self.conv3d_impl
         if impl == "auto":
             # per-device batch >= 8: see DiffusionTrainer (probe49 crossover)
@@ -86,12 +103,20 @@ class AlignmentTrainer:
             big = x.shape[0] // n_shards >= 8
             impl = ("xla" if jax.default_backend() == "tpu" and big else None)
         with conv3d_impl(impl):
-            return self._loss_fn(params, rng, x, y, train)
+            return self._loss_fn(params, rng, x, y, train, target=target)
 
-    def _loss_fn(self, params, rng, x, y, train: bool = True):
+    def _loss_fn(self, params, rng, x, y, train: bool = True, target=None):
         rng_enc, rng_t, rng_noise, rng_drop = jax.random.split(rng, 4)
-        z = jax.lax.stop_gradient(self._encode(x, rng_enc, sample=True))
-        zc = jax.lax.stop_gradient(self._encode(y, None, sample=False))
+        if self.latent_inputs:
+            assert target is not None, "latent mode needs the cached target"
+            z = jax.lax.stop_gradient(self._latents(x, rng_enc, sample=True))
+            zc = jax.lax.stop_gradient(self._latents(y, None, sample=False))
+            y_model = None  # the architecture ignores y (models.py:459)
+        else:
+            z = jax.lax.stop_gradient(self._encode(x, rng_enc, sample=True))
+            zc = jax.lax.stop_gradient(self._encode(y, None, sample=False))
+            target = self.target_fn(x)
+            y_model = y
         B = x.shape[0]
         t = jax.random.randint(rng_t, (B,), 0, self.schedule.num_timesteps)
         noise = jax.random.normal(rng_noise, z.shape, z.dtype)
@@ -99,8 +124,8 @@ class AlignmentTrainer:
         kwargs = {}
         if train:
             kwargs = dict(rngs={"dropout": rng_drop}, deterministic=False)
-        pred = self.model_apply({"params": params}, zt, t, zc=zc, y=y, **kwargs)
-        target = self.target_fn(x)
+        pred = self.model_apply({"params": params}, zt, t, zc=zc, y=y_model,
+                                **kwargs)
         if self.loss_type in ("l2", "mse"):
             loss = jnp.mean(jnp.square(pred - target))
         elif self.loss_type in ("l1", "mae"):
@@ -125,7 +150,7 @@ class AlignmentTrainer:
         if precision == "auto":
             precision = "bfloat16" if jax.default_backend() == "tpu" else None
 
-        def step(state: EmaTrainState, rng, x, y):
+        def step(state: EmaTrainState, rng, x, y, target=None):
             step_rng = convert_key_impl(
                 jax.random.fold_in(rng, state.step), impl
             )
@@ -133,8 +158,10 @@ class AlignmentTrainer:
             def loss_closure(p):
                 if precision is not None:
                     with jax.default_matmul_precision(precision):
-                        return self.loss_fn(p, step_rng, x, y, train=True)
-                return self.loss_fn(p, step_rng, x, y, train=True)
+                        return self.loss_fn(p, step_rng, x, y, train=True,
+                                            target=target)
+                return self.loss_fn(p, step_rng, x, y, train=True,
+                                    target=target)
 
             (loss, loss_dict), grads = jax.value_and_grad(
                 loss_closure, has_aux=True
@@ -143,12 +170,20 @@ class AlignmentTrainer:
             loss_dict["train_loss"] = loss
             return new_state, loss_dict
 
+        n_data = 3 if self.latent_inputs else 2
+        if not self.latent_inputs:
+            step_fn = lambda state, rng, x, y: step(state, rng, x, y)  # noqa: E731
+        else:
+            step_fn = step
         if self.mesh is not None:
             repl = replicated_sharding(self.mesh)
             data = batch_sharding(self.mesh)
-            return jax.jit(step, in_shardings=(repl, repl, data, data),
-                           out_shardings=(repl, repl), donate_argnums=(0,))
-        return jax.jit(step, donate_argnums=(0,))
+            return jax.jit(
+                step_fn,
+                in_shardings=(repl, repl) + (data,) * n_data,
+                out_shardings=(repl, repl), donate_argnums=(0,),
+            )
+        return jax.jit(step_fn, donate_argnums=(0,))
 
     @property
     def train_step(self):

@@ -39,6 +39,7 @@ class DiffusionTrainer:
         flat_update: bool = False,
         matmul_precision: Optional[str] = None,
         conv3d_impl: Optional[str] = None,
+        latent_inputs: bool = False,
     ):
         self.ld = ld
         self.vae_params = vae_params
@@ -65,6 +66,11 @@ class DiffusionTrainer:
         # pathology, probe15/18-19).  'auto' = native on real TPUs; None
         # keeps the module default.
         self.conv3d_impl = conv3d_impl
+        # True: train/val steps take cached first-stage MOMENTS (mx, my)
+        # instead of pixel windows (x, y) — the frozen VAE encode drops out
+        # of the step (see LatentDiffusion.training_loss_from_moments and
+        # scripts/precompute_latents.py)
+        self.latent_inputs = latent_inputs
         self._train_step = None
         self._val_step = None
 
@@ -96,23 +102,30 @@ class DiffusionTrainer:
             state = jax.device_put(state, replicated_sharding(self.mesh))
         return state
 
-    def _loss_fn(self, params, rng, x, y, train: bool, prefix: str):
+    def _loss_fn(self, params, rng, x, y, train: bool, prefix: str,
+                 latent: Optional[bool] = None):
         # Activation rematerialization (the reference's checkpoint_level) is
         # applied here over the whole loss when requested — XLA schedules a
         # step-level remat better than per-module checkpoints.
         logvar = params.get("logvar", self.ld.init_logvar())
-        loss_fn = self.ld.training_loss
-        if train and self.remat_unet:
-            loss_fn = jax.checkpoint(loss_fn, static_argnums=(6, 7))
+        latent = self.latent_inputs if latent is None else latent
+        if latent:
+            loss_fn = self.ld.training_loss_from_moments
+            if train and self.remat_unet:
+                loss_fn = jax.checkpoint(loss_fn, static_argnums=(5, 6))
+            args = (params["unet"], logvar, rng, x, y, train, prefix)
+        else:
+            loss_fn = self.ld.training_loss
+            if train and self.remat_unet:
+                loss_fn = jax.checkpoint(loss_fn, static_argnums=(6, 7))
+            args = (params["unet"], logvar, self.vae_params, rng, x, y,
+                    train, prefix)
         # conv3d_impl(...) resolves at trace time, so the train/val programs
         # pick their 3-D conv lowering independently of the sampler's.
         n_shards = (1 if self.mesh is None
                     else int(np.prod(self.mesh.devices.shape)))
         with conv3d_impl(self._resolved_conv3d_impl(x.shape[0] // n_shards)):
-            return loss_fn(
-                params["unet"], logvar, self.vae_params, rng, x, y,
-                train, prefix,
-            )
+            return loss_fn(*args)
 
     def make_train_step(self):
         from jax.flatten_util import ravel_pytree
@@ -161,13 +174,19 @@ class DiffusionTrainer:
             )
         return jax.jit(step, donate_argnums=(0,))
 
-    def make_val_step(self, use_ema: bool = True):
+    def make_val_step(self, use_ema: bool = True,
+                      latent_inputs: Optional[bool] = None):
+        """``latent_inputs=False`` forces a pixel-input val step even when
+        the trainer trains from a latent cache (validation samples and
+        scores forecasts from pixel batches)."""
+
         def step(state: EmaTrainState, rng, x, y):
             params = state.params
             if use_ema and state.use_ema:
                 params = dict(params)
                 params["unet"] = state.ema_params["unet"]
-            _, loss_dict = self._loss_fn(params, rng, x, y, False, "val")
+            _, loss_dict = self._loss_fn(params, rng, x, y, False, "val",
+                                         latent=latent_inputs)
             return loss_dict
 
         if self.mesh is not None:

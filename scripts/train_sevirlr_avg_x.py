@@ -24,6 +24,9 @@ def parse_args():
     p.add_argument("--sevir-dir", default=None, type=str)
     p.add_argument("--pretrained-dir", default=None, type=str)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--latents", default=None, type=str,
+                   help="train from a pre-encoded VAE latent cache "
+                        "(scripts/precompute_latents.py)")
     p.add_argument("--max-steps", default=None, type=int)
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host pod)")
@@ -110,6 +113,7 @@ def main():
         flat_update=cfg.optim.get("flat_update", False),
         matmul_precision=cfg.optim.get("matmul_precision", None),
         conv3d_impl=cfg.optim.get("conv3d_impl", "auto"),
+        latent_inputs=args.latents is not None,
     )
     state = trainer.create_state(model_params)
     in_slice, out_slice = layout_to_in_out_slice(
@@ -118,15 +122,36 @@ def main():
     logger = MetricLogger(
         save_dir, use_wandb=cfg.logging.use_wandb,
         run_name=cfg.logging.logging_prefix, config=cfg.to_dict())
-    step = 0
-    for epoch in range(cfg.optim.max_epochs):
+    latent_cache = None
+    if args.latents:
+        from prediff_tpu.datasets.latents import LatentCache
+
+        latent_cache = LatentCache(args.latents)
+
+    def batches(epoch):
+        if latent_cache is not None:
+            for mom, fm in dm.train_latent_batches(latent_cache, epoch):
+                if mom.shape[0] != cfg.optim.micro_batch_size:
+                    continue
+                mom = jnp.asarray(mom)
+                # target = cached per-frame pixel mean of the OUT window,
+                # (B, T_out, 1) like avg_x_objective
+                target = jnp.asarray(fm)[:, cfg.layout.in_len:, None]
+                yield (shard_batch(mom[out_slice], mesh),
+                       shard_batch(mom[in_slice], mesh),
+                       shard_batch(target, mesh))
+            return
         for b in dm.train_batches(epoch):
             if b.shape[0] != cfg.optim.micro_batch_size:
                 continue
             batch = jnp.asarray(b)
-            x = shard_batch(batch[out_slice], mesh)
-            y = shard_batch(batch[in_slice], mesh)
-            state, metrics = trainer.train_step(state, rng, x, y)
+            yield (shard_batch(batch[out_slice], mesh),
+                   shard_batch(batch[in_slice], mesh))
+
+    step = 0
+    for epoch in range(cfg.optim.max_epochs):
+        for args_b in batches(epoch):
+            state, metrics = trainer.train_step(state, rng, *args_b)
             step += 1
             if step % 50 == 0:
                 logger.log(step, jax.device_get(metrics))

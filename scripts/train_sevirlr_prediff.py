@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--sevir-dir", default=None, type=str)
     p.add_argument("--synthetic", action="store_true",
                    help="use a generated synthetic SEVIR-LR dataset")
+    p.add_argument("--latents", default=None, type=str,
+                   help="train from a pre-encoded VAE latent cache "
+                        "(scripts/precompute_latents.py) — drops the frozen "
+                        "encoder from the train step (~14%% device time)")
     p.add_argument("--max-steps", default=None, type=int)
     p.add_argument("--nodes", default=1, type=int)
     p.add_argument("--num-samples", default=None, type=int,
@@ -152,6 +156,7 @@ def main():
         flat_update=cfg.optim.get("flat_update", False),
         matmul_precision=cfg.optim.get("matmul_precision", None),
         conv3d_impl=cfg.optim.get("conv3d_impl", "auto"),
+        latent_inputs=args.latents is not None,
     )
 
     in_slice, out_slice = layout_to_in_out_slice(
@@ -172,7 +177,23 @@ def main():
 
     train_example = {}  # first train batch of the epoch, for periodic vis
 
+    latent_cache = None
+    if args.latents:
+        from prediff_tpu.datasets.latents import LatentCache
+
+        latent_cache = LatentCache(args.latents)
+
     def train_batches(epoch):
+        if latent_cache is not None:
+            # latent mode: (mx, my) cached-moments windows; validation below
+            # stays pixel-based (it samples + scores forecasts)
+            for mom, _fm in dm.train_latent_batches(latent_cache, epoch):
+                if mom.shape[0] != cfg.optim.micro_batch_size:
+                    continue
+                mom = jnp.asarray(mom)
+                mx, my = mom[out_slice], mom[in_slice]
+                yield shard_batch(mx, mesh), shard_batch(my, mesh)
+            return
         for i, b in enumerate(dm.train_batches(epoch)):
             if b.shape[0] != cfg.optim.micro_batch_size:
                 continue  # drop ragged tail for static shapes
@@ -209,6 +230,10 @@ def main():
             metrics_list=tuple(cfg.dataset.metrics_list),
         )
 
+    # validation always scores pixel batches, even when training from latents
+    val_step = (trainer.make_val_step(latent_inputs=False)
+                if args.latents else trainer.val_step)
+
     def val_fn(state):
         val_counter["n"] += 1
         vals = []
@@ -218,7 +243,7 @@ def main():
             if b.shape[0] != cfg.optim.micro_batch_size:
                 continue
             x, y = split_batch(b)
-            m = trainer.val_step(state, rng, shard_batch(x, mesh), shard_batch(y, mesh))
+            m = val_step(state, rng, shard_batch(x, mesh), shard_batch(y, mesh))
             vals.append({k: float(v) for k, v in m.items()})
             data_idx = bidx * cfg.optim.micro_batch_size
             if cfg.eval.eval_example_only and (

@@ -103,3 +103,35 @@ def test_sample_smoke(tmp_path):
     assert os.path.exists(os.path.join(out, "ctx0.png"))
     a = np.load(os.path.join(out, "ctx0_sample0.npy"))
     assert a.shape == (1, 2, 32, 32, 1)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_precompute_latents_and_train_smoke(tmp_path):
+    """Full latent-cache flow: precompute over the synthetic catalog, then
+    train both the diffusion model and the alignment network from the cache
+    (the frozen VAE encode stays out of those train steps)."""
+    import json
+
+    out = str(tmp_path / "latents.h5")
+    run_script(
+        "precompute_latents.py", "--out", out, "--cfg", TINY,
+        "--synthetic", "--aug", "d4", "--dtype", "float32",
+        "--frame-batch", "25",
+    )
+    assert os.path.exists(out)
+    sevir_dir = str(tmp_path / "synthetic_sevirlr")
+    save = str(tmp_path / "prediff_lat")
+    run_script(
+        "train_sevirlr_prediff.py", "--save", save, "--cfg", TINY,
+        "--sevir-dir", sevir_dir, "--latents", out, "--max-steps", "3",
+    )
+    records = [json.loads(l) for l in open(f"{save}/metrics.jsonl")]
+    keys = {k for r in records for k in r}
+    # validation stays pixel-based (sampled-forecast CSI still produced)
+    assert "valid_csi_avg_epoch" in keys
+    assert "valid_loss_epoch" in keys
+    run_script(
+        "train_sevirlr_avg_x.py", "--save", str(tmp_path / "align_lat"),
+        "--cfg", TINY, "--sevir-dir", sevir_dir, "--latents", out,
+        "--max-steps", "2",
+    )
