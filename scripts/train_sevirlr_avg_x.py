@@ -128,25 +128,30 @@ def main():
 
         latent_cache = LatentCache(args.latents)
 
+    from prediff_tpu.datasets.prefetch import prefetch_to_device
+    from prediff_tpu.parallel.mesh import batch_sharding
+
     def batches(epoch):
+        """Producer-thread host pipeline + double-buffered sharded
+        device_put (datasets/prefetch.py)."""
         if latent_cache is not None:
-            for mom, fm in dm.train_latent_batches(latent_cache, epoch):
-                if mom.shape[0] != cfg.optim.micro_batch_size:
-                    continue
-                mom = jnp.asarray(mom)
-                # target = cached per-frame pixel mean of the OUT window,
-                # (B, T_out, 1) like avg_x_objective
-                target = jnp.asarray(fm)[:, cfg.layout.in_len:, None]
-                yield (shard_batch(mom[out_slice], mesh),
-                       shard_batch(mom[in_slice], mesh),
-                       shard_batch(target, mesh))
-            return
-        for b in dm.train_batches(epoch):
-            if b.shape[0] != cfg.optim.micro_batch_size:
-                continue
-            batch = jnp.asarray(b)
-            yield (shard_batch(batch[out_slice], mesh),
-                   shard_batch(batch[in_slice], mesh))
+            def gen():
+                for mom, fm in dm.train_latent_batches(latent_cache, epoch):
+                    if mom.shape[0] != cfg.optim.micro_batch_size:
+                        continue
+                    # target = cached per-frame pixel mean of the OUT window,
+                    # (B, T_out, 1) like avg_x_objective
+                    yield (mom[out_slice], mom[in_slice],
+                           fm[:, cfg.layout.in_len:, None])
+        else:
+            def gen():
+                for b in dm.train_batches(epoch):
+                    if b.shape[0] != cfg.optim.micro_batch_size:
+                        continue
+                    yield b[out_slice], b[in_slice]
+
+        yield from prefetch_to_device(
+            gen(), size=2, sharding=batch_sharding(mesh))
 
     step = 0
     for epoch in range(cfg.optim.max_epochs):

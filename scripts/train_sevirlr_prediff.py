@@ -183,24 +183,38 @@ def main():
 
         latent_cache = LatentCache(args.latents)
 
+    from prediff_tpu.datasets.prefetch import prefetch_to_device
+    from prediff_tpu.parallel.mesh import batch_sharding
+
     def train_batches(epoch):
+        """Host-side read/aug/split runs in a producer thread with
+        double-buffered sharded device_put (datasets/prefetch.py), so input
+        latency overlaps device compute."""
         if latent_cache is not None:
             # latent mode: (mx, my) cached-moments windows; validation below
             # stays pixel-based (it samples + scores forecasts)
-            for mom, _fm in dm.train_latent_batches(latent_cache, epoch):
-                if mom.shape[0] != cfg.optim.micro_batch_size:
-                    continue
-                mom = jnp.asarray(mom)
-                mx, my = mom[out_slice], mom[in_slice]
-                yield shard_batch(mx, mesh), shard_batch(my, mesh)
+            def gen():
+                for mom, _fm in dm.train_latent_batches(latent_cache, epoch):
+                    if mom.shape[0] != cfg.optim.micro_batch_size:
+                        continue
+                    yield mom[out_slice], mom[in_slice]
+
+            yield from prefetch_to_device(
+                gen(), size=2, sharding=batch_sharding(mesh))
             return
-        for i, b in enumerate(dm.train_batches(epoch)):
-            if b.shape[0] != cfg.optim.micro_batch_size:
-                continue  # drop ragged tail for static shapes
-            x, y = split_batch(b)
+
+        def gen():
+            for b in dm.train_batches(epoch):
+                if b.shape[0] != cfg.optim.micro_batch_size:
+                    continue  # drop ragged tail for static shapes
+                yield b[out_slice], b[in_slice]  # x (target), y (context)
+
+        for i, xy in enumerate(
+            prefetch_to_device(gen(), size=2, sharding=batch_sharding(mesh))
+        ):
             if i == 0:
-                train_example["xy"] = (x, y)
-            yield shard_batch(x, mesh), shard_batch(y, mesh)
+                train_example["xy"] = xy
+            yield xy
 
     # ---- validation: diffusion loss + sampled-forecast skill scores ----
     # The reference's validation_step draws num_samples_per_context forecasts

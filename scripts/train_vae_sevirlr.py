@@ -104,13 +104,24 @@ def main():
     logger = MetricLogger(
         save_dir, use_wandb=cfg.logging.use_wandb,
         run_name=cfg.logging.logging_prefix, config=cfg.to_dict())
+    from prediff_tpu.datasets.prefetch import prefetch_to_device
+    from prediff_tpu.parallel.mesh import batch_sharding
+
+    def frame_batches(epoch):
+        """Producer-thread host pipeline + double-buffered sharded
+        device_put (datasets/prefetch.py)."""
+        def gen():
+            for b in dm.train_batches(epoch):
+                if b.shape[0] != cfg.optim.micro_batch_size:
+                    continue
+                yield b[:, 0]  # (B, H, W, C)
+
+        yield from prefetch_to_device(
+            gen(), size=2, sharding=batch_sharding(mesh))
+
     step = 0
     for epoch in range(cfg.optim.max_epochs):
-        for b in dm.train_batches(epoch):
-            if b.shape[0] != cfg.optim.micro_batch_size:
-                continue
-            frames = jnp.asarray(b[:, 0])  # (B, H, W, C)
-            frames = shard_batch(frames, mesh)
+        for frames in frame_batches(epoch):
             gen_state, disc_state, batch_stats, logs = trainer.train_step(
                 gen_state, disc_state, batch_stats, rng, frames
             )
