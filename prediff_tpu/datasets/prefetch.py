@@ -21,6 +21,7 @@ def prefetch_to_device(
     thread (e.g. layout slicing)."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    error = []
 
     def producer():
         try:
@@ -31,6 +32,8 @@ def prefetch_to_device(
                     jax.device_put(item)
                 )
                 q.put(item)
+        except BaseException as e:  # re-raised in the consumer, not swallowed
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -39,5 +42,7 @@ def prefetch_to_device(
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             break
         yield item

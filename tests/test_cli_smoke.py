@@ -11,7 +11,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TINY = os.path.join(REPO, "configs", "tiny_smoke.yaml")
 
 
-def run_script(script, *args, timeout=420):
+def run_script(script, *args, timeout=900):
+    # generous: the 1-core CI host runs these ~6x slower when contended, and
+    # a spurious TimeoutExpired costs more signal than it saves
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (

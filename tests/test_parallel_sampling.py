@@ -255,3 +255,18 @@ def test_prefetch_to_device():
     for i, b in enumerate(out):
         assert float(np.asarray(b)[0, 0]) == float(i)
         assert len(b.sharding.device_set) == 8
+
+
+def test_prefetch_propagates_producer_errors():
+    """A failing reader (e.g. bad HDF5 row) must raise in the consumer, not
+    silently end the epoch early."""
+    import pytest
+
+    def gen():
+        yield np.zeros((8, 4), np.float32)
+        raise RuntimeError("bad row")
+
+    it = prefetch_to_device(gen(), size=2, sharding=batch_sharding(make_mesh()))
+    next(it)
+    with pytest.raises(RuntimeError, match="bad row"):
+        list(it)
