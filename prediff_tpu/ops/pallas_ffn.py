@@ -179,13 +179,18 @@ def fused_ffn(
 
 
 def ffn_vmem_bytes(tm: int, C: int, hidden: int) -> int:
-    """f32 bytes resident in one grid cell: both weight matrices (constant
-    index maps keep them in VMEM), vectors, the token tile in/out, and the
-    hidden activation."""
-    return 4 * (
-        2 * C * hidden          # w1 + w2
-        + hidden + 3 * C        # b1, ln_scale/bias, b2
-        + tm * (2 * C + hidden)  # x tile, out tile, hidden activation
+    """Bytes resident in one grid cell: both weight matrices (constant index
+    maps keep them in VMEM) at the bf16 MXU dtype, vectors, the token tile
+    in/out, and the f32 hidden activation.
+
+    The weights MUST be counted at 2 bytes: counting them f32 over-estimated
+    the v1 stage-1 shape (tokens 832, C 512, hidden 2048) at 13.5 MB vs the
+    true ~9.3 MB, silently gating 24 of the 48 sampler FFNs back to XLA —
+    a measured 158 -> 142 steps/s bench regression (probe62)."""
+    return (
+        2 * 2 * C * hidden           # w1 + w2 resident in bf16
+        + 4 * (hidden + 3 * C)       # b1, ln_scale/bias, b2
+        + 4 * tm * (2 * C + hidden)  # x tile, out tile, f32 hidden activation
     )
 
 

@@ -103,6 +103,19 @@ def test_pick_token_tile():
     assert not pallas_ffn.supports_shape(3328, 250, 1024)  # unaligned C
 
 
+def test_supports_shape_v1_stages():
+    """REGRESSION (probe62): both v1 UNet stages must stay kernel-eligible.
+    Round-3's first VMEM gate counted the resident weights at f32 and
+    silently pushed the stage-1 FFNs (832 tokens, C=512, hidden=2048,
+    ~9.3 MB true footprint) onto the XLA path — a 158 -> 142 steps/s bench
+    drop.  The weights live in VMEM at the bf16 MXU dtype (2 bytes)."""
+    assert pallas_ffn.supports_shape(3328, 256, 1024)  # stage 0
+    assert pallas_ffn.supports_shape(832, 512, 2048)   # stage 1
+    # the advisor's oversized example must still fall back (bf16 weights
+    # alone are 16.8 MB)
+    assert not pallas_ffn.supports_shape(4096, 1024, 4096)
+
+
 def _randomize(params, seed=11, scale=0.06):
     """Randomize every leaf — ffn_2 is zero-init (mode "2"), which would
     otherwise make the fused-vs-module comparison vacuous."""
