@@ -172,11 +172,17 @@ class PositionwiseFFN(nn.Module):
                     ("bias", (C,), nn.initializers.zeros)),
             name="ffn_2",
         )()
-        # nondiff args (eps .. interpret) positional: custom_vjp requirement
+        # nondiff args (eps .. full_bwd) positional: custom_vjp requirement.
+        # full_bwd on the TRAIN path (not deterministic => a trainer is
+        # differentiating the params): one Pallas kernel computes dx AND all
+        # parameter grads, replacing the XLA recompute that made the kernels
+        # a net loss in dropout-0 training (probe40c).  Inference/guidance
+        # (deterministic) keeps the dx-only backward, where the param-grad
+        # subgraph is DCE'd.
         out = pallas_ffn.fused_ffn_diff(
             data.reshape(tokens, C), ln_scale, ln_bias, w1, b1, w2, b2,
             self.layer_norm_eps, self.activation, "bfloat16",
-            jax.default_backend() != "tpu",
+            jax.default_backend() != "tpu", not deterministic,
         )
         return out.reshape(data.shape)
 

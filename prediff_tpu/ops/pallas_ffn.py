@@ -248,6 +248,187 @@ def _ffn_bwd_dx_kernel(
     dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
 
 
+def _ffn_bwd_full_kernel(
+    x_ref,        # (TM, C)
+    g_ref,        # (TM, C) output cotangent
+    ln_scale_ref,  # (1, C)
+    ln_bias_ref,   # (1, C)
+    w1_ref,        # (C, Hdim)
+    b1_ref,        # (1, Hdim)
+    w2_ref,        # (Hdim, C)
+    dx_ref,        # (TM, C)
+    dgamma_ref,    # (1, C)  f32, accumulated across the sequential grid
+    dbeta_ref,     # (1, C)
+    dw1_ref,       # (C, Hdim)
+    db1_ref,       # (1, Hdim)
+    dw2_ref,       # (Hdim, C)
+    db2_ref,       # (1, C)
+    *, eps, activation, mxu_dtype,
+):
+    """dL/d(everything) of y = x + ffn2(act(ffn1(LN(x)))) in ONE kernel —
+    the train-path backward (probe40c: the custom_vjp's XLA param-grad
+    recompute made the kernels a net loss in dropout-0 training; computing
+    the param grads from the already-recomputed VMEM intermediates replaces
+    that whole XLA subgraph with two extra in-kernel GEMMs).  Parameter
+    grads accumulate f32 into constant-index-map outputs over the
+    (sequential) token-tile grid."""
+    i = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    gamma = ln_scale_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    sigma_inv = jax.lax.rsqrt(var + eps)
+    nhat = (x - mu) * sigma_inv
+    ln = nhat * gamma + ln_bias_ref[0].astype(jnp.float32)
+    h = jax.lax.dot(
+        ln.astype(mxu_dtype), w1_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    a = _apply_activation(h, activation)
+    da = jax.lax.dot_general(  # g @ w2^T
+        g.astype(mxu_dtype), w2_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dh = da * _apply_activation_grad(h, activation)
+    dln = jax.lax.dot_general(  # dh @ w1^T
+        dh.astype(mxu_dtype), w1_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dnhat = dln * gamma
+    dx_ln = sigma_inv * (
+        dnhat
+        - jnp.mean(dnhat, axis=-1, keepdims=True)
+        - nhat * jnp.mean(dnhat * nhat, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
+
+    # ---- parameter-grad tiles (contract over the token-tile axis) -------- #
+    dw2_t = jax.lax.dot_general(  # a^T @ g -> (Hdim, C)
+        a.astype(mxu_dtype), g.astype(mxu_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dw1_t = jax.lax.dot_general(  # ln^T @ dh -> (C, Hdim)
+        ln.astype(mxu_dtype), dh.astype(mxu_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    db2_t = jnp.sum(g, axis=0, keepdims=True)
+    db1_t = jnp.sum(dh, axis=0, keepdims=True)
+    dgamma_t = jnp.sum(dln * nhat, axis=0, keepdims=True)
+    dbeta_t = jnp.sum(dln, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw2_ref[...] = dw2_t
+        dw1_ref[...] = dw1_t
+        db2_ref[...] = db2_t
+        db1_ref[...] = db1_t
+        dgamma_ref[...] = dgamma_t
+        dbeta_ref[...] = dbeta_t
+
+    @pl.when(i > 0)
+    def _():
+        dw2_ref[...] += dw2_t
+        dw1_ref[...] += dw1_t
+        db2_ref[...] += db2_t
+        db1_ref[...] += db1_t
+        dgamma_ref[...] += dgamma_t
+        dbeta_ref[...] += dbeta_t
+
+
+# the all-grads backward carries f32 dw1/dw2 accumulators on top of the dx
+# backward's live set, so (like pallas_resblock) it raises the per-kernel
+# VMEM limit instead of squeezing under the default soft budget, and uses a
+# smaller token tile
+FULL_BWD_TILE_BYTES = 512 * 1024
+FULL_BWD_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def supports_full_bwd_shape(tokens: int, C: int, hidden: int) -> bool:
+    """Gate for the all-grads backward: the dx backward's live set PLUS the
+    f32 dw1/dw2 accumulators (and the extra a/dw tile temporaries) must fit
+    75% of the raised per-kernel VMEM limit."""
+    tm = pick_token_tile(tokens, hidden, max_bytes=FULL_BWD_TILE_BYTES)
+    if tm is None or C % 128 or hidden % 128:
+        return False
+    bytes_ = 4 * (
+        2 * C * hidden             # w1 + w2 resident (staged dtype f32)
+        + 2 * C * hidden           # dw1 + dw2 f32 accumulators
+        + hidden + 3 * C
+        + tm * (8 * C + 7 * hidden)  # live tile temporaries incl. a, dw tiles
+    )
+    return bytes_ <= 0.75 * FULL_BWD_VMEM_LIMIT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "mxu_dtype_name", "interpret"),
+)
+def fused_ffn_bwd_full(
+    x, g, ln_scale, ln_bias, w1, b1, w2,
+    eps: float = 1e-5, activation: str = "gelu",
+    mxu_dtype_name: str = "bfloat16", interpret: bool = False,
+):
+    """One-kernel backward: (dx, dgamma, dbeta, dw1, db1, dw2, db2)."""
+    tokens, C = x.shape
+    hidden = w1.shape[1]
+    tm = pick_token_tile(tokens, hidden, max_bytes=FULL_BWD_TILE_BYTES)
+    assert tm is not None, "caller must gate with supports_full_bwd_shape()"
+    kernel = functools.partial(
+        _ffn_bwd_full_kernel, eps=eps, activation=activation,
+        mxu_dtype=jnp.dtype(mxu_dtype_name),
+    )
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    tile = pl.BlockSpec((tm, C), lambda i: (i, 0))
+    f32 = jnp.float32
+    dx, dgamma, dbeta, dw1, db1, dw2, db2 = pl.pallas_call(
+        kernel,
+        grid=(tokens // tm,),
+        in_specs=[
+            tile, tile,
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((hidden, C)),
+        ],
+        out_specs=(
+            tile,
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((hidden, C)), const2((1, C)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * tokens * C * hidden,
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + 2 * (w1.size + w2.size) * 4,
+            transcendentals=2 * tokens * hidden,
+        ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=FULL_BWD_VMEM_LIMIT)
+            if pltpu is not None else None
+        ),
+        interpret=interpret,
+    )(x, g, row(ln_scale), row(ln_bias), w1, row(b1), w2)
+    return (
+        dx,
+        dgamma.reshape(-1).astype(ln_scale.dtype),
+        dbeta.reshape(-1).astype(ln_bias.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(-1).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(-1).astype(w2.dtype),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "activation", "mxu_dtype_name", "interpret"),
@@ -304,26 +485,28 @@ def fused_ffn_bwd_dx(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
 )
 def fused_ffn_diff(x, ln_scale, ln_bias, w1, b1, w2, b2,
                    eps=1e-5, activation="gelu", mxu_dtype_name="bfloat16",
-                   interpret=False):
+                   interpret=False, full_bwd=False):
     """Differentiable fused FFN (round-3): forward = the fused Pallas kernel;
-    backward = fused Pallas dx kernel + XLA-recomputed parameter grads.
+    backward = fused Pallas dx kernel + XLA-recomputed parameter grads, OR —
+    with ``full_bwd`` (the TRAIN path, where parameter grads are known to be
+    consumed) — ONE Pallas kernel computing dx and every parameter grad.
 
-    The parameter grads come from ``jax.vjp`` of the jnp reference — when the
-    caller only differentiates wrt x (knowledge-alignment guidance,
-    ref alignment_pl.py:423 re-enters autograd for d(energy)/dz only), XLA's
-    DCE deletes that whole recompute subgraph and the backward is one fused
-    kernel."""
+    ``full_bwd=False`` keeps the dx-only backward whose XLA param-grad
+    recompute is DCE'd entirely under input-only differentiation (guidance,
+    ref alignment_pl.py:423) — a full kernel there would compute dw1/dw2 that
+    nothing consumes, since XLA cannot dead-code-eliminate individual
+    pallas_call outputs."""
     return fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps,
                      activation=activation, mxu_dtype_name=mxu_dtype_name,
                      interpret=interpret)
 
 
 def _fused_ffn_diff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                        eps, activation, mxu_dtype_name, interpret):
+                        eps, activation, mxu_dtype_name, interpret, full_bwd):
     out = fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps,
                     activation=activation, mxu_dtype_name=mxu_dtype_name,
                     interpret=interpret)
@@ -347,8 +530,17 @@ def supports_bwd_shape(tokens: int, C: int, hidden: int) -> bool:
     return bytes_ <= VMEM_BUDGET_BYTES
 
 
-def _fused_ffn_diff_bwd(eps, activation, mxu_dtype_name, interpret, res, g):
+def _fused_ffn_diff_bwd(eps, activation, mxu_dtype_name, interpret, full_bwd,
+                        res, g):
     x, ln_scale, ln_bias, w1, b1, w2 = res
+    if full_bwd and supports_full_bwd_shape(x.shape[0], x.shape[1],
+                                            w1.shape[1]):
+        dx, d_gamma, d_beta, dw1, db1, dw2, db2 = fused_ffn_bwd_full(
+            x, g, ln_scale, ln_bias, w1, b1, w2, eps=eps,
+            activation=activation, mxu_dtype_name=mxu_dtype_name,
+            interpret=interpret,
+        )
+        return dx, d_gamma, d_beta, dw1, db1, dw2, db2
     if supports_bwd_shape(x.shape[0], x.shape[1], w1.shape[1]):
         dx = fused_ffn_bwd_dx(
             x, g, ln_scale, ln_bias, w1, b1, w2, eps=eps,

@@ -217,3 +217,41 @@ def test_unet_with_fused_ffn_matches_unfused():
     # bf16 MXU operands in the kernel vs f32 CPU matmuls
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("activation", ["gelu", "silu"])
+def test_fused_ffn_full_bwd_grads_match_xla_autodiff(activation):
+    """The one-kernel all-grads backward (full_bwd=True, the train path) vs
+    jax.grad of the reference, every cotangent — multi-tile tokens so the
+    accumulating constant-index-map outputs are exercised across grid steps."""
+    tokens, C, hidden = 384, 256, 1024  # tile 128 -> 3 grid steps
+    assert pallas_ffn.supports_full_bwd_shape(tokens, C, hidden)
+    args = _rand_ffn_inputs(tokens, C, hidden, seed=5)
+    g_out = jnp.asarray(
+        np.random.RandomState(12).randn(tokens, C).astype(np.float32)
+    )
+
+    def loss_fused(*a):
+        out = pallas_ffn.fused_ffn_diff(
+            *a, 1e-5, activation, "float32", True, True
+        )
+        return jnp.sum(out * g_out)
+
+    def loss_ref(*a):
+        return jnp.sum(
+            pallas_ffn.fused_ffn_reference(*a, activation=activation) * g_out
+        )
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    names = ("dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2")
+    for n, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=n
+        )
+
+
+def test_full_bwd_gate_v1_stages():
+    """Both v1 stages fit the raised-limit full-backward budget."""
+    assert pallas_ffn.supports_full_bwd_shape(3328, 256, 1024)
+    assert pallas_ffn.supports_full_bwd_shape(832, 512, 2048)
