@@ -79,6 +79,7 @@ def write_latent_cache(
     moments_dtype: str = "float16",
     frame_batch: int = 32,
     verbose: bool = False,
+    encode_dtype: Optional[str] = None,
 ) -> None:
     """Encode every event of ``loader`` (a SEVIRDataLoader over the FULL date
     range, vil only) into ``path``.
@@ -141,6 +142,12 @@ def write_latent_cache(
             n_variants=n_variants, raw_seq_len=raw_t,
             rescale_method=loader.rescale_method,
             moments_dtype=moments_dtype, aug=aug,
+            # the encoder COMPUTE dtype used when writing (the pixel path's
+            # exactness guarantee holds only when its encode dtype matches;
+            # on TPU first_stage_dtype='auto' is frame-count-gated, so a
+            # bf16-written cache vs a small-batch f32 pixel step differ by
+            # one encode's rounding — training-immaterial but not bitwise)
+            encode_dtype=encode_dtype or "unspecified",
         ))
 
 

@@ -22,6 +22,19 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     error = []
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Enqueue unless the consumer has gone away (generator closed, e.g.
+        a --max-steps break mid-epoch) — otherwise the producer would block
+        forever holding ``size`` device-resident batches."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -31,18 +44,27 @@ def prefetch_to_device(
                 item = jax.device_put(item, sharding) if sharding is not None else (
                     jax.device_put(item)
                 )
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # re-raised in the consumer, not swallowed
             error.append(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                break
+            yield item
+    finally:
+        stop.set()  # runs on close()/GC of an abandoned generator too
+        while not q.empty():  # release any device batches still queued
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -169,11 +169,16 @@ class LatentDiffusion:
         (B,T,h,w,c).  Mirrors the tail of :meth:`encode_first_stage` exactly
         (frame-flattened posterior sample / mode, then ``scale_factor``) so a
         training step fed from a latent cache reproduces the pixel-input step
-        bit-for-bit given the same rng."""
-        frames, B = self._frames(moments.astype(jnp.float32))
-        posterior = DiagonalGaussianDistribution.from_parameters(frames)
-        z = posterior.sample(rng) if sample_posterior else posterior.mode()
-        return self._unframes(self.scale_factor * z, B)
+        bit-for-bit given the same rng — provided the cache was written with
+        the same encoder compute dtype the pixel step would use (recorded in
+        the cache meta as ``encode_dtype``; on TPU ``first_stage_dtype
+        ='auto'`` is frame-count-gated)."""
+        from ..utils.distributions import latents_from_moments_seq
+
+        return latents_from_moments_seq(
+            moments, rng=rng, sample_posterior=sample_posterior,
+            scale_factor=self.scale_factor,
+        )
 
     def training_loss_from_moments(
         self, unet_params, logvar, rng: jax.Array,

@@ -178,19 +178,26 @@ def fused_ffn(
     )(x, row(ln_scale), row(ln_bias), w1, row(b1), w2, row(b2))
 
 
-def ffn_vmem_bytes(tm: int, C: int, hidden: int) -> int:
+def ffn_vmem_bytes(tm: int, C: int, hidden: int,
+                   weight_bytes: int = 2) -> int:
     """Bytes resident in one grid cell: both weight matrices (constant index
-    maps keep them in VMEM) at the bf16 MXU dtype, vectors, the token tile
-    in/out, and the f32 hidden activation.
+    maps keep them in VMEM) at ``weight_bytes`` per element, vectors, the
+    token tile in/out, and the f32 hidden activation.
 
-    The weights MUST be counted at 2 bytes: counting them f32 over-estimated
-    the v1 stage-1 shape (tokens 832, C 512, hidden 2048) at 13.5 MB vs the
-    true ~9.3 MB, silently gating 24 of the 48 sampler FFNs back to XLA —
-    a measured 158 -> 142 steps/s bench regression (probe62)."""
+    Weights stage at the dtype the caller passes (f32 params from the
+    module; pre-casting to bf16 would risk the never-hoisted-out-of-while
+    convert trap, CLAUDE.md).  The default ``weight_bytes=2`` is therefore a
+    CALIBRATED SOFT THRESHOLD, not the literal footprint: Mosaic's real VMEM
+    ceiling is ~100 MB and the v1 stage-1 shape (tokens 832, C 512, hidden
+    2048; true f32 footprint ~13.5 MB) compiles and runs — counting weights
+    f32 against the 12 MB soft budget had silently gated those 24 sampler
+    FFNs back to XLA, a measured 158 -> 142 steps/s bench regression
+    (probe62).  Callers wanting a literal-footprint gate can pass
+    weight_bytes=4."""
     return (
-        2 * 2 * C * hidden           # w1 + w2 resident in bf16
-        + 4 * (hidden + 3 * C)       # b1, ln_scale/bias, b2
-        + 4 * tm * (2 * C + hidden)  # x tile, out tile, f32 hidden activation
+        weight_bytes * 2 * C * hidden  # w1 + w2 resident
+        + 4 * (hidden + 3 * C)         # b1, ln_scale/bias, b2
+        + 4 * tm * (2 * C + hidden)    # x tile, out tile, f32 hidden act
     )
 
 
@@ -510,7 +517,7 @@ def _fused_ffn_diff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
     out = fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps,
                     activation=activation, mxu_dtype_name=mxu_dtype_name,
                     interpret=interpret)
-    return out, (x, ln_scale, ln_bias, w1, b1, w2)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
 def supports_bwd_shape(tokens: int, C: int, hidden: int) -> bool:
@@ -532,7 +539,7 @@ def supports_bwd_shape(tokens: int, C: int, hidden: int) -> bool:
 
 def _fused_ffn_diff_bwd(eps, activation, mxu_dtype_name, interpret, full_bwd,
                         res, g):
-    x, ln_scale, ln_bias, w1, b1, w2 = res
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     if full_bwd and supports_full_bwd_shape(x.shape[0], x.shape[1],
                                             w1.shape[1]):
         dx, d_gamma, d_beta, dw1, db1, dw2, db2 = fused_ffn_bwd_full(
@@ -540,7 +547,7 @@ def _fused_ffn_diff_bwd(eps, activation, mxu_dtype_name, interpret, full_bwd,
             activation=activation, mxu_dtype_name=mxu_dtype_name,
             interpret=interpret,
         )
-        return dx, d_gamma, d_beta, dw1, db1, dw2, db2
+        return dx, d_gamma, d_beta, dw1, db1, dw2, db2.astype(b2.dtype)
     if supports_bwd_shape(x.shape[0], x.shape[1], w1.shape[1]):
         dx = fused_ffn_bwd_dx(
             x, g, ln_scale, ln_bias, w1, b1, w2, eps=eps,
@@ -568,7 +575,7 @@ def _fused_ffn_diff_bwd(eps, activation, mxu_dtype_name, interpret, full_bwd,
         ln_scale, ln_bias, w1, b1, w2,
     )
     d_gamma, d_beta, dw1, db1, dw2 = vjp(g)
-    db2 = jnp.sum(g.astype(jnp.float32), axis=0).astype(ln_scale.dtype)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=0).astype(b2.dtype)
     return dx, d_gamma, d_beta, dw1, db1, dw2, db2
 
 

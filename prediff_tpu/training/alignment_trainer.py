@@ -83,13 +83,14 @@ class AlignmentTrainer:
 
     def _latents(self, moments, rng, sample: bool):
         """Cached encoder moments (B,T,h,w,2c) -> scaled latents; the latent
-        twin of :meth:`_encode` (same flatten/sample/scale order)."""
-        B = moments.shape[0]
-        mom = moments.astype(jnp.float32).reshape((-1,) + moments.shape[2:])
-        posterior = DiagonalGaussianDistribution.from_parameters(mom)
-        z = posterior.sample(rng) if sample else posterior.mode()
-        z = self.scale_factor * z
-        return z.reshape((B, -1) + z.shape[1:])
+        twin of :meth:`_encode` (shared implementation, see
+        utils/distributions.py)."""
+        from ..utils.distributions import latents_from_moments_seq
+
+        return latents_from_moments_seq(
+            moments, rng=rng, sample_posterior=sample,
+            scale_factor=self.scale_factor,
+        )
 
     def loss_fn(self, params, rng, x, y, train: bool = True, target=None):
         """x: target pixel seq (B,T_out,H,W,C); y: context seq (B,T_in,H,W,C).

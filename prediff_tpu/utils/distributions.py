@@ -57,3 +57,24 @@ class DiagonalGaussianDistribution:
             logtwopi + self.logvar + jnp.square(sample - self.mean) / self.var,
             axis=reduce_axes,
         )
+
+
+def latents_from_moments_seq(
+    moments: jnp.ndarray,
+    rng=None,
+    sample_posterior: bool = False,
+    scale_factor: float = 1.0,
+) -> jnp.ndarray:
+    """Cached encoder moments (B, T, h, w, 2c) -> scaled latent seq
+    (B, T, h, w, c): frame-flattened posterior sample (or mode), then
+    ``scale_factor`` — the single shared tail of the first-stage encode used
+    by both LatentDiffusion and AlignmentTrainer when training from a latent
+    cache (datasets/latents.py).  The flatten/sample order mirrors
+    ``encode_first_stage`` exactly so cached and pixel-input steps match
+    bit-for-bit given the same rng (and encode dtype)."""
+    B = moments.shape[0]
+    frames = moments.astype(jnp.float32).reshape((-1,) + moments.shape[2:])
+    posterior = DiagonalGaussianDistribution.from_parameters(frames)
+    z = posterior.sample(rng) if sample_posterior else posterior.mode()
+    z = scale_factor * z
+    return z.reshape((B, -1) + z.shape[1:])

@@ -82,6 +82,10 @@ def main():
 
     vae_params = params["vae"]
     encode = jax.jit(lambda f: ld.first_stage_moments(vae_params, f))
+    # recorded in the cache meta: the exactness-vs-pixel-path guarantee
+    # holds when the training step's encode dtype matches this
+    encode_dtype = str(np.dtype(
+        ld._resolved_first_stage_dtype(n_frames=args.frame_batch)))
 
     raw_seq_len = {"sevir": 49, "sevirlr": 25}[cfg.dataset.dataset_name]
     # full date range + single shard: the cache covers the whole catalog so
@@ -106,7 +110,7 @@ def main():
           f"x {raw_seq_len} frames -> {args.out}", flush=True)
     write_latent_cache(
         args.out, loader, encode, aug=args.aug, moments_dtype=args.dtype,
-        frame_batch=args.frame_batch, verbose=True,
+        frame_batch=args.frame_batch, verbose=True, encode_dtype=encode_dtype,
     )
     loader.close()
     print(f"latent cache written: {args.out}", flush=True)

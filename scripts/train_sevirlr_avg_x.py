@@ -140,9 +140,10 @@ def main():
                     if mom.shape[0] != cfg.optim.micro_batch_size:
                         continue
                     # target = cached per-frame pixel mean of the OUT window,
-                    # (B, T_out, 1) like avg_x_objective
-                    yield (mom[out_slice], mom[in_slice],
-                           fm[:, cfg.layout.in_len:, None])
+                    # (B, T_out, 1) like avg_x_objective — bounded exactly
+                    # like out_slice (seq_len may exceed in_len + out_len)
+                    t0, t1 = cfg.layout.in_len, cfg.layout.in_len + cfg.layout.out_len
+                    yield (mom[out_slice], mom[in_slice], fm[:, t0:t1, None])
         else:
             def gen():
                 for b in dm.train_batches(epoch):
