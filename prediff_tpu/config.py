@@ -103,6 +103,14 @@ def optim_default() -> Dict:
         # (probe45: identical time AND loss — XLA already picks bf16 MXU
         # passes for these convs), so default off.
         flat_update=False,
+        # pack_small_thr: pack param leaves with <= this many elements into
+        # ONE flat vector for the clip/adam/EMA update (the flat_update
+        # middle ground — probe61 attributed ~22.5 ms/step to per-leaf
+        # optimizer/EMA traffic across 640 leaves; at 65536 the v1 UNet
+        # packs 454 leaves holding 1.3% of elements, so the ravel-copy cost
+        # that sank flat_update stays negligible).  0 = per-leaf updates.
+        # probe66 measures the win; see EmaTrainState.pack_small_thr.
+        pack_small_thr=0,
         matmul_precision=None,
         # conv3d_impl: the 3-D conv lowering for the TRAIN step only.  'auto'
         # = XLA's native 3-D conv on real TPUs when the per-device batch is

@@ -36,6 +36,7 @@ class AlignmentTrainer:
         mesh: Optional[Mesh] = None,
         prng_impl=None,
         flat_update: bool = False,
+        pack_small_thr: int = 0,
         matmul_precision: Optional[str] = None,
         conv3d_impl: Optional[str] = None,
         latent_inputs: bool = False,
@@ -54,6 +55,7 @@ class AlignmentTrainer:
         # see DiffusionTrainer: raveled-vector optimizer update + one-pass
         # bf16 MXU operands on real TPUs
         self.flat_update = flat_update
+        self.pack_small_thr = pack_small_thr
         self.matmul_precision = matmul_precision
         # see DiffusionTrainer: train-batch shapes prefer XLA's native 3-D
         # conv lowering (probe46/48); 'auto' = native on real TPUs
@@ -67,7 +69,8 @@ class AlignmentTrainer:
     def create_state(self, params) -> EmaTrainState:
         tx = build_optimizer(**self.optim_config)
         state = EmaTrainState.create(params, tx, use_ema=self.use_ema,
-                                     flat_update=self.flat_update)
+                                     flat_update=self.flat_update,
+                                     pack_small_thr=self.pack_small_thr)
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))
         return state

@@ -37,6 +37,7 @@ class DiffusionTrainer:
         track_grad_norm: bool = False,
         prng_impl=None,
         flat_update: bool = False,
+        pack_small_thr: int = 0,
         matmul_precision: Optional[str] = None,
         conv3d_impl: Optional[str] = None,
         latent_inputs: bool = False,
@@ -54,6 +55,9 @@ class DiffusionTrainer:
         self.prng_impl = prng_impl
         # single raveled-vector clip/adam/EMA update (see EmaTrainState)
         self.flat_update = flat_update
+        # pack small param leaves into one flat optimizer/EMA vector
+        # (see EmaTrainState.pack_small_thr); 0 = per-leaf updates
+        self.pack_small_thr = pack_small_thr
         # 'bfloat16' (or 'auto' = bf16 on real TPUs) wraps the loss in
         # jax.default_matmul_precision.  Measured a no-op on the v1 config
         # (probe45: identical step time and loss — XLA already runs these
@@ -96,7 +100,7 @@ class DiffusionTrainer:
         tx = build_optimizer(**self.optim_config)
         state = EmaTrainState.create(
             params, tx, use_ema=self.use_ema, ema_decay=self.ema_decay,
-            flat_update=self.flat_update,
+            flat_update=self.flat_update, pack_small_thr=self.pack_small_thr,
         )
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))
@@ -152,6 +156,10 @@ class DiffusionTrainer:
                 # one reduce over the same concatenate apply_gradients uses
                 # (CSE'd) instead of one tiny reduction per param leaf
                 loss_dict["grad_norm"] = jnp.linalg.norm(ravel_pytree(grads)[0])
+            elif self.pack_small_thr:
+                # same packing apply_gradients uses (CSE'd with clip's norm)
+                loss_dict["grad_norm"] = optax_global_norm(
+                    state.pack_like(grads))
             else:
                 loss_dict["grad_norm"] = optax_global_norm(grads)
             if self.track_grad_norm:
@@ -184,7 +192,7 @@ class DiffusionTrainer:
             params = state.params
             if use_ema and state.use_ema:
                 params = dict(params)
-                params["unet"] = state.ema_params["unet"]
+                params["unet"] = state.ema_param_tree()["unet"]
             _, loss_dict = self._loss_fn(params, rng, x, y, False, "val",
                                          latent=latent_inputs)
             return loss_dict

@@ -55,6 +55,7 @@ class VAETrainer:
         disc_optim_config: Optional[Dict] = None,
         mesh: Optional[Mesh] = None,
         flat_update: bool = False,
+        pack_small_thr: int = 0,
     ):
         self.vae = vae
         self.disc = disc or NLayerDiscriminator(input_nc=vae.out_channels, n_layers=3)
@@ -71,6 +72,8 @@ class VAETrainer:
         self.mesh = mesh
         # raveled-vector optimizer updates (see EmaTrainState.flat_update)
         self.flat_update = flat_update
+        # small-leaf-packed updates (see EmaTrainState.pack_small_thr)
+        self.pack_small_thr = pack_small_thr
         self._train_step = None
 
     def create_states(self, rng, sample_input) -> Tuple[EmaTrainState, EmaTrainState, Any]:
@@ -84,11 +87,12 @@ class VAETrainer:
         }
         gen_state = EmaTrainState.create(
             gen_params, build_optimizer(**self.optim_config), use_ema=False,
-            flat_update=self.flat_update,
+            flat_update=self.flat_update, pack_small_thr=self.pack_small_thr,
         )
         disc_state = EmaTrainState.create(
             disc_vars["params"], build_optimizer(**self.disc_optim_config),
             use_ema=False, flat_update=self.flat_update,
+            pack_small_thr=self.pack_small_thr,
         )
         batch_stats = disc_vars.get("batch_stats", {})
         if self.mesh is not None:

@@ -111,6 +111,7 @@ def main():
         mesh=mesh,
         prng_impl=cfg.optim.get("prng_impl", "auto"),
         flat_update=cfg.optim.get("flat_update", False),
+        pack_small_thr=cfg.optim.get("pack_small_thr", 0),
         matmul_precision=cfg.optim.get("matmul_precision", None),
         conv3d_impl=cfg.optim.get("conv3d_impl", "auto"),
         latent_inputs=args.latents is not None,

@@ -156,6 +156,65 @@ def test_flat_update_matches_per_leaf(tiny_setup):
                                    rtol=2e-5, atol=2e-7)
 
 
+def test_pack_small_thr_matches_per_leaf(tiny_setup):
+    """pack_small_thr (small leaves packed into one flat optimizer/EMA
+    vector, big leaves native) is semantically identical to the per-leaf
+    path: after 3 steps params, EMA (via ema_param_tree) and grad_norm
+    agree to f32 tolerance (only the global-norm reduction order differs).
+    Also pins that EMA really is STORED packed and that pack/unpack
+    round-trips the tree exactly."""
+    from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        2, tiny_setup["OUT_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).rand(
+        2, tiny_setup["IN_LEN"], tiny_setup["IMG"], tiny_setup["IMG"], 1
+    ).astype(np.float32))
+
+    def run(thr):
+        tr = DiffusionTrainer(
+            tiny_setup["ld"], tiny_setup["vae_params"],
+            optim_config=dict(lr=1e-3, total_num_steps=10,
+                              gradient_clip_val=1e-3),  # make clip scale bite
+            pack_small_thr=thr,
+        )
+        state = tr.create_state(tiny_setup["unet_params"])
+        norms = []
+        for _ in range(3):
+            state, m = tr.train_step(state, jax.random.PRNGKey(0), x, y)
+            norms.append(float(m["grad_norm"]))
+        return state, norms
+
+    s_pack, n_pack = run(4096)
+    s_leaf, n_leaf = run(0)
+    # packed mode really stores EMA packed (flat vector + large list)
+    assert isinstance(s_pack.ema_params, dict)
+    assert set(s_pack.ema_params) == {"flat", "large"}
+    assert s_pack.ema_params["flat"].ndim == 1
+    np.testing.assert_allclose(n_pack, n_leaf, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_pack.params),
+                    jax.tree_util.tree_leaves(s_leaf.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+    pack_ema = s_pack.ema_param_tree()
+    assert (jax.tree_util.tree_structure(pack_ema)
+            == jax.tree_util.tree_structure(s_leaf.ema_params))
+    for a, b in zip(jax.tree_util.tree_leaves(pack_ema),
+                    jax.tree_util.tree_leaves(s_leaf.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+    # val step consumes the packed EMA transparently
+    tr = DiffusionTrainer(
+        tiny_setup["ld"], tiny_setup["vae_params"],
+        optim_config=dict(lr=1e-3, total_num_steps=10,
+                          gradient_clip_val=1e-3),
+        pack_small_thr=4096,
+    )
+    m = tr.val_step(s_pack, jax.random.PRNGKey(2), x, y)
+    assert np.isfinite(float(m["val/loss"]))
+
+
 def test_train_step_rbg_prng(tiny_setup):
     """prng_impl='rbg' (TPU hardware RNG on device; functional on CPU too)
     trains to a finite loss and produces different — but statistically
