@@ -175,6 +175,10 @@ def latent_model_default() -> Dict:
         #   use_pallas_attention: False | True | "layer" | "auto" (default
         #       "auto" = v4 whole-layer kernel on real TPU backends)
         #   use_pallas_ffn:       False | True | "auto" (default "auto")
+        #   use_pallas_dropout:   False | True | "auto" (default False —
+        #       in-kernel PRNG dropout so the fused FFN/attention kernels
+        #       serve ACTIVE-dropout training (v1 recipe); real TPU only,
+        #       masks from the TPU PRNG stream, not flax Dropout draws)
         #   use_pallas_gn:        False | True | "auto" (default "auto")
         #   use_pallas_conv:      False | True | "auto" (default "auto" —
         #       fused 3x3x3 conv on eligible shapes; the trainer's

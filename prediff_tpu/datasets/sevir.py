@@ -208,44 +208,56 @@ class SEVIRDataLoader:
 
     # ------------------------------------------------------------ #
     def _compute_samples(self):
-        imgt = self.data_types
-        imgts = set(imgt)
-        cat = self.catalog
-        filtcat = cat[np.logical_or.reduce([cat.img_type == i for i in imgt])]
-        filtcat = filtcat.groupby("id").filter(lambda x: imgts.issubset(set(x["img_type"])))
-        filtcat = filtcat.groupby("id").filter(lambda x: x.shape[0] == len(imgt))
-        self._samples = filtcat.groupby("id").apply(
-            lambda df: self._df_to_series(df, imgt)
-        )
+        """Build the event table: one row per usable event id, with columns
+        ``{type}_filename`` / ``{type}_index`` for each requested data type.
+
+        An event is usable when every requested ``img_type`` appears exactly
+        once among its catalog rows.  Formulated as a crosstab eligibility
+        check followed by two pivots (the reference derives the same table
+        through a groupby/filter/apply chain, sevir_dataloader.py:256-299;
+        output rows are id-sorted in both formulations).
+        """
+        types = list(self.data_types)
+        rows = self.catalog[self.catalog.img_type.isin(types)]
+        counts = pd.crosstab(rows["id"], rows["img_type"])
+        usable = counts.index[
+            (counts.reindex(columns=types, fill_value=0) == 1).all(axis=1)
+        ]
+        rows = rows[rows["id"].isin(usable)]
+        names = rows.pivot(index="id", columns="img_type", values="file_name")
+        file_idx = rows.pivot(index="id", columns="img_type", values="file_index")
+        table = {}
+        for t in types:
+            table[f"{t}_filename"] = names[t]
+            # Lightning events are keyed by event id inside their HDF5 file;
+            # raster types by integer dataset row (see _read_event).
+            table[f"{t}_index"] = (
+                names.index.to_series() if t == "lght" else file_idx[t]
+            )
+        self._samples = pd.DataFrame(table)
         if self.shuffle:
             self.shuffle_samples()
 
     def shuffle_samples(self):
+        # pandas .sample keeps draw-for-draw parity with the reference's
+        # seeded epoch shuffle (sevir_dataloader.py:301-307).
         self._samples = self._samples.sample(frac=1, random_state=self.shuffle_seed)
 
-    def _df_to_series(self, df, imgt):
-        d = {}
-        df = df.set_index("img_type")
-        for i in imgt:
-            s = df.loc[i]
-            idx = s.file_index if i != "lght" else s.id
-            d.update({f"{i}_filename": [s.file_name], f"{i}_index": [idx]})
-        return pd.DataFrame(d)
-
     def _open_files(self, verbose=False):
-        hdf_filenames = []
-        for t in self.data_types:
-            hdf_filenames += list(np.unique(self._samples[f"{t}_filename"].values))
+        names = sorted(
+            {n for t in self.data_types for n in self._samples[f"{t}_filename"]}
+        )
         self._hdf_files = {}
-        for f in hdf_filenames:
+        for name in names:
             if verbose:
-                print("Opening HDF5 file for reading", f)
-            self._hdf_files[f] = h5py.File(os.path.join(self.sevir_data_dir, f), "r")
+                print("Opening HDF5 file for reading", name)
+            self._hdf_files[name] = h5py.File(
+                os.path.join(self.sevir_data_dir, name), "r"
+            )
 
     def close(self):
-        for f in self._hdf_files:
-            self._hdf_files[f].close()
-        self._hdf_files = {}
+        while self._hdf_files:
+            self._hdf_files.popitem()[1].close()
 
     # ------------------------------------------------------------ #
     @property

@@ -1,10 +1,15 @@
 """Generic eval metrics: MSE/MAE/SSIM (+ ensemble CRPS, Pearson) in pure JAX.
 
 Parity: the reference uses torchmetrics MeanSquaredError/MeanAbsoluteError/
-StructuralSimilarityIndexMeasure (train_sevirlr_prediff.py:219-269); SSIM here
-follows the standard Wang et al. formulation with an 11x11 uniform window
-(torchmetrics default is gaussian_kernel=False -> uniform, kernel 11,
-data_range inferred; we take data_range=1.0 for [0,1] VIL).
+StructuralSimilarityIndexMeasure with ALL defaults
+(train_sevirlr_prediff.py:219-269).  torchmetrics SSIM defaults are
+gaussian_kernel=True (11x11, sigma 1.5), BIASED covariance (E[x^2]-E[x]^2,
+no n/(n-1) correction), data_range=None (inferred per update as
+max(pred.ptp(), target.ptp())), and the per-pixel map averaged only over
+windows fully inside the image (torchmetrics reflect-pads, convolves, then
+crops the pad back off — identical to a valid-mode convolution).  `ssim`
+below implements exactly those semantics; golden-tested against an
+independent numpy formulation in tests/test_evaluation.py.
 CRPS is the fair ensemble estimator — part of the rebuild's north-star
 metric suite (BASELINE.md)."""
 from typing import Optional
@@ -57,39 +62,61 @@ def mae(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred - target))
 
 
-def _uniform_filter_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Valid-mode k x k mean filter over (B, H, W, C)."""
-    kernel = jnp.ones((k, k, 1, 1), x.dtype) / (k * k)
+def _window_filter_2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode per-channel 2-D window filter over (B, H, W, C)."""
     C = x.shape[-1]
-    kernel = jnp.tile(kernel, (1, 1, 1, C))
+    k = jnp.tile(kernel[:, :, None, None].astype(x.dtype), (1, 1, 1, C))
     return jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), "VALID",
+        x, k, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
     )
 
 
+def _ssim_window(kernel_size: int, sigma: Optional[float]) -> jnp.ndarray:
+    """Normalized 2-D window: separable gaussian (sigma given) or uniform."""
+    if sigma is None:
+        return jnp.full((kernel_size, kernel_size), 1.0 / kernel_size**2)
+    coords = jnp.arange(kernel_size, dtype=jnp.float32) - (kernel_size - 1) / 2
+    g = jnp.exp(-(coords**2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return g[:, None] * g[None, :]
+
+
 def ssim(
     pred: jnp.ndarray,
     target: jnp.ndarray,
-    data_range: float = 1.0,
+    data_range: Optional[float] = None,
     kernel_size: int = 11,
+    sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
+    gaussian_kernel: bool = True,
 ) -> jnp.ndarray:
-    """SSIM over (B, H, W, C) frames, uniform window, mean-reduced."""
+    """SSIM over (B, H, W, C) frames, mean-reduced.
+
+    Defaults reproduce torchmetrics ``StructuralSimilarityIndexMeasure()``
+    exactly (reference logs it with all defaults,
+    train_sevirlr_prediff.py:230): gaussian 11x11 sigma-1.5 window, biased
+    covariance, windows fully inside the image, ``data_range`` inferred from
+    the update batch when None.  ``gaussian_kernel=False`` gives the uniform
+    window variant (torchmetrics' flag of the same name)."""
+    if data_range is None:
+        data_range = jnp.maximum(
+            pred.max() - pred.min(), target.max() - target.min()
+        )
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
-    mu_x = _uniform_filter_2d(pred, kernel_size)
-    mu_y = _uniform_filter_2d(target, kernel_size)
-    mu_xx = _uniform_filter_2d(pred * pred, kernel_size)
-    mu_yy = _uniform_filter_2d(target * target, kernel_size)
-    mu_xy = _uniform_filter_2d(pred * target, kernel_size)
-    n = kernel_size * kernel_size
-    cov_norm = n / (n - 1)
-    sigma_x = cov_norm * (mu_xx - mu_x * mu_x)
-    sigma_y = cov_norm * (mu_yy - mu_y * mu_y)
-    sigma_xy = cov_norm * (mu_xy - mu_x * mu_y)
+    window = _ssim_window(kernel_size, sigma if gaussian_kernel else None)
+    mu_x = _window_filter_2d(pred, window)
+    mu_y = _window_filter_2d(target, window)
+    mu_xx = _window_filter_2d(pred * pred, window)
+    mu_yy = _window_filter_2d(target * target, window)
+    mu_xy = _window_filter_2d(pred * target, window)
+    # biased second moments (torchmetrics applies no n/(n-1) correction)
+    sigma_x = mu_xx - mu_x * mu_x
+    sigma_y = mu_yy - mu_y * mu_y
+    sigma_xy = mu_xy - mu_x * mu_y
     num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
     return jnp.mean(num / den)

@@ -97,6 +97,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
     use_relative_pos: bool = True
     use_pallas_attention: Union[bool, str] = False
     use_pallas_ffn: Union[bool, str] = False
+    use_pallas_dropout: Union[bool, str] = False
     use_pallas_gn: Union[bool, str] = False
     use_pallas_conv: Union[bool, str] = False
     use_pallas_resblock: Union[bool, str] = False
@@ -250,6 +251,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
                     checkpoint_level=self.checkpoint_level,
                     use_relative_pos=self.use_relative_pos,
                     use_pallas_attention=self.use_pallas_attention,
+                    use_pallas_dropout=self.use_pallas_dropout,
                     use_pallas_ffn=self.use_pallas_ffn,
                     use_final_proj=self.self_attn_use_final_proj,
                     attn_linear_init_mode=self.attn_linear_init_mode,

@@ -78,6 +78,10 @@ class CuboidSelfAttentionLayer(nn.Module):
     use_relative_pos: bool = True
     # False | True (grouped scores kernel) | "layer" (whole-layer fusion)
     use_pallas_attention: Union[bool, str] = False
+    # in-kernel PRNG dropout (round-4): the whole-layer kernel serves
+    # ACTIVE attn/proj dropout training (v1 recipe).  Real TPU only;
+    # default False pending the on-TPU bench A/B.
+    use_pallas_dropout: Union[bool, str] = False
     attn_linear_init_mode: str = "0"
     ffn_linear_init_mode: str = "2"  # the final-proj init mode (ref naming)
 
@@ -95,7 +99,9 @@ class CuboidSelfAttentionLayer(nn.Module):
         )
         rel_idx = compute_relative_position_index(tuple(self.cuboid_size))
         rel_idx = rel_idx[:cuboid_volume, :cuboid_volume]
-        bias = table[jnp.asarray(rel_idx.reshape(-1))]
+        # coerce: params loaded from numpy checkpoints would otherwise be
+        # fancy-indexed as numpy arrays, which rejects traced indices
+        bias = jnp.asarray(table)[jnp.asarray(rel_idx.reshape(-1))]
         bias = bias.reshape(cuboid_volume, cuboid_volume, self.num_heads)
         return bias.transpose(2, 0, 1)
 
@@ -110,8 +116,13 @@ class CuboidSelfAttentionLayer(nn.Module):
         semantics require the XLA path."""
         if self.use_global_vector or self.qkv_bias or not self.use_final_proj:
             return None
-        if not deterministic and (self.attn_drop > 0.0 or self.proj_drop > 0.0):
-            return None
+        from ..ops.dispatch import resolve_auto
+
+        dropout_active = not deterministic and (
+            self.attn_drop > 0.0 or self.proj_drop > 0.0
+        )
+        if dropout_active and not resolve_auto(self.use_pallas_dropout):
+            return None  # keep flax Dropout semantics (XLA path)
         B, T, H, W, C = x.shape
         cuboid_size, shift_size = update_cuboid_size_shift_size(
             (T, H, W), self.cuboid_size, self.shift_size, self.strategy
@@ -130,8 +141,11 @@ class CuboidSelfAttentionLayer(nn.Module):
         from ..ops.pallas_attention import (
             fused_cuboid_attention_layer_v4_diff,
             fused_axial_attention_5d_diff,
+            fused_cuboid_attention_layer_v4_dropout_diff,
+            fused_axial_attention_5d_dropout_diff,
             axial_attention_plan,
             pick_cuboid_group,
+            supports_attention_dropout,
         )
 
         vol = cuboid_size[0] * cuboid_size[1] * cuboid_size[2]
@@ -153,6 +167,20 @@ class CuboidSelfAttentionLayer(nn.Module):
                                  num_heads=self.num_heads) is None
         ):
             return None
+        if dropout_active:
+            # in-kernel dropout needs a real TPU and the all-grads backward
+            if axial_axis is not None:
+                plan = axial_attention_plan(x.shape, axial_axis,
+                                            num_heads=self.num_heads)
+                ok = supports_attention_dropout(
+                    plan["R"], plan["vol"], C, self.num_heads)
+            else:
+                G = pick_cuboid_group(num_cuboids, vol, C=self.dim,
+                                      num_heads=self.num_heads)
+                ok = supports_attention_dropout(
+                    G * vol, vol, C, self.num_heads)
+            if not ok:
+                return None
         (ln_scale, ln_bias) = _ParamHolder(
             leaves=(("scale", (C,), nn.initializers.ones),
                     ("bias", (C,), nn.initializers.zeros)),
@@ -173,17 +201,41 @@ class CuboidSelfAttentionLayer(nn.Module):
             bias = jnp.zeros((self.num_heads, vol, vol), x.dtype)
         scale = self.qk_scale or (C // self.num_heads) ** -0.5
         interpret = jax.default_backend() != "tpu"
-        # nondiff args (num_heads .. interpret) passed positionally:
+        # full_bwd on the TRAIN path (not deterministic => a trainer is
+        # differentiating and parameter grads will be consumed); guidance
+        # keeps the dx-only backward whose XLA param-grad recompute is DCE'd
+        # (XLA cannot DCE individual pallas outputs — see pallas_ffn).
+        full_bwd = not deterministic
+        if dropout_active:
+            seed = jax.random.key_data(self.make_rng("dropout"))
+            if axial_axis is not None:
+                return fused_axial_attention_5d_dropout_diff(
+                    x, seed, axial_axis, ln_scale, ln_bias, w_qkv, bias,
+                    w_proj, b_proj, self.num_heads, scale, 1e-5,
+                    self.attn_drop, self.proj_drop,
+                )
+            reordered = cuboid_reorder(x, cuboid_size=cuboid_size,
+                                       strategy=self.strategy)
+            out = fused_cuboid_attention_layer_v4_dropout_diff(
+                reordered, seed, ln_scale, ln_bias, w_qkv, bias, w_proj,
+                b_proj, self.num_heads, scale, 1e-5,
+                self.attn_drop, self.proj_drop,
+            )
+            return cuboid_reorder_reverse(
+                out, cuboid_size=cuboid_size, strategy=self.strategy,
+                orig_data_shape=(T, H, W),
+            )
+        # nondiff args (num_heads .. full_bwd) passed positionally:
         # jax.custom_vjp nondiff_argnums are positional-only
         if axial_axis is not None:
             return fused_axial_attention_5d_diff(
                 x, axial_axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-                self.num_heads, scale, 1e-5, "bfloat16", interpret,
+                self.num_heads, scale, 1e-5, "bfloat16", interpret, full_bwd,
             )
         reordered = cuboid_reorder(x, cuboid_size=cuboid_size, strategy=self.strategy)
         out = fused_cuboid_attention_layer_v4_diff(
             reordered, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-            self.num_heads, scale, 1e-5, "bfloat16", interpret,
+            self.num_heads, scale, 1e-5, "bfloat16", interpret, full_bwd,
         )
         return cuboid_reorder_reverse(
             out, cuboid_size=cuboid_size, strategy=self.strategy,
@@ -468,6 +520,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
     use_relative_pos: bool = True
     use_pallas_attention: Union[bool, str] = False
     use_pallas_ffn: Union[bool, str] = False
+    use_pallas_dropout: Union[bool, str] = False
     use_final_proj: bool = True
     checkpoint_level: int = 0
     attn_linear_init_mode: str = "0"
@@ -491,6 +544,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
                 activation=self.activation,
                 pre_norm=True,
                 use_pallas=self.use_pallas_ffn,
+                use_pallas_dropout=self.use_pallas_dropout,
                 linear_init_mode=self.ffn_linear_init_mode,
                 ffn2_linear_init_mode=self.ffn2_linear_init_mode,
                 name=f"ffn_l_{i}",
@@ -531,6 +585,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
                 global_dim_ratio=self.global_dim_ratio,
                 use_relative_pos=self.use_relative_pos,
                 use_pallas_attention=self.use_pallas_attention,
+                use_pallas_dropout=self.use_pallas_dropout,
                 use_final_proj=self.use_final_proj,
                 attn_linear_init_mode=self.attn_linear_init_mode,
                 ffn_linear_init_mode=self.attn_proj_linear_init_mode,

@@ -127,6 +127,11 @@ class PositionwiseFFN(nn.Module):
     layer_norm_eps: float = 1e-5
     pre_norm: bool = False
     use_pallas: Union[bool, str] = False
+    # in-kernel PRNG dropout (round-4): lets the fused kernel serve ACTIVE-
+    # dropout training (the v1 recipe).  Real TPU only; masks come from the
+    # TPU PRNG, not flax Dropout draws.  Default False pending the on-TPU
+    # bench A/B (CLAUDE.md gate-change protocol).
+    use_pallas_dropout: Union[bool, str] = False
     linear_init_mode: str = "0"
     ffn2_linear_init_mode: str = "2"
 
@@ -147,14 +152,20 @@ class PositionwiseFFN(nn.Module):
         if not (resolve_auto(self.use_pallas) and self.pre_norm
                 and not self.gated_proj):
             return None
-        if not deterministic and (
-            self.activation_dropout > 0.0 or self.dropout > 0.0
-        ):
-            return None  # active dropout: keep flax Dropout semantics (XLA)
         if self.activation not in pallas_ffn.SUPPORTED_ACTIVATIONS:
             return None
         C = data.shape[-1]
         tokens = int(np.prod(data.shape[:-1]))
+        dropout_active = not deterministic and (
+            self.activation_dropout > 0.0 or self.dropout > 0.0
+        )
+        if dropout_active:
+            # round-4: in-kernel PRNG dropout serves the v1 dropout recipe
+            # when enabled; otherwise keep flax Dropout semantics (XLA)
+            if not (resolve_auto(self.use_pallas_dropout)
+                    and pallas_ffn.supports_dropout_shape(
+                        tokens, C, self.hidden_size)):
+                return None
         if C != self.units or not pallas_ffn.supports_shape(tokens, C, self.hidden_size):
             return None
         (ln_scale, ln_bias) = _ParamHolder(
@@ -172,6 +183,14 @@ class PositionwiseFFN(nn.Module):
                     ("bias", (C,), nn.initializers.zeros)),
             name="ffn_2",
         )()
+        if dropout_active:
+            seed = jax.random.key_data(self.make_rng("dropout"))
+            out = pallas_ffn.fused_ffn_dropout_diff(
+                data.reshape(tokens, C), seed, ln_scale, ln_bias, w1, b1,
+                w2, b2, self.layer_norm_eps, self.activation,
+                self.activation_dropout, self.dropout,
+            )
+            return out.reshape(data.shape)
         # nondiff args (eps .. full_bwd) positional: custom_vjp requirement.
         # full_bwd on the TRAIN path (not deterministic => a trainer is
         # differentiating the params): one Pallas kernel computes dx AND all
@@ -405,8 +424,11 @@ class TimeEmbedResBlock(nn.Module):
 
     Input layout (B, T, H, W, C) (the torch reference uses NCTHW); 3-D convs
     with kernel 3.  When ``use_embed=False`` it degrades to a plain ResBlock
-    (used as ``first_proj``).  ``up``/``down`` resampling is not used by any
-    PreDiff config and is unsupported here.
+    (used as ``first_proj``).  ``up``/``down`` insert a parameter-free
+    nearest-x2 upsample / (1,2,2) average-pool on the inner two axes between
+    the first GN+SiLU and its conv, applied to both the hidden path and the
+    skip (reference time_embed.py:97-105 + openaimodel.py:34-106, dims=3
+    semantics; no shipped PreDiff config uses them — capability parity).
     """
 
     channels: int
@@ -416,6 +438,8 @@ class TimeEmbedResBlock(nn.Module):
     use_conv: bool = False
     use_embed: bool = True
     use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
     norm_groups: int = 32
     use_pallas: Union[bool, str] = False
     use_pallas_conv: Union[bool, str] = False
@@ -449,6 +473,7 @@ class TimeEmbedResBlock(nn.Module):
             out = pallas_groupnorm.fused_groupnorm_silu_diff(
                 x.reshape(B, N, C), scale, bias, emb2d, groups,
                 1e-5, True, jax.default_backend() != "tpu",
+                not deterministic,  # train path: one-kernel all-grads bwd
             )
             return out.reshape(x.shape)
         h = x if emb2d is None else x + emb2d[:, None, None, None, :]
@@ -500,6 +525,15 @@ class TimeEmbedResBlock(nn.Module):
             x, emb_out, k1, b1, k2, b2, g1s, g1b, g2s, g2b,
             groups, 1e-5, "bfloat16", jax.default_backend() != "tpu")
 
+    @staticmethod
+    def _resample_hw(x: jnp.ndarray, up: bool) -> jnp.ndarray:
+        """Parameter-free 2x resample of the inner two axes of (B,T,H,W,C):
+        nearest-neighbor upsample (ref openaimodel.py:53-57, dims=3) or
+        (1,2,2) average pool (ref :92-100)."""
+        if up:
+            return jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        return nn.avg_pool(x, (1, 2, 2), strides=(1, 2, 2))
+
     @nn.compact
     def __call__(
         self,
@@ -507,16 +541,21 @@ class TimeEmbedResBlock(nn.Module):
         emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        assert not (self.up and self.down)
         out_channels = self.out_channels or self.channels
         in_groups = self.norm_groups if self.channels % self.norm_groups == 0 else self.channels
         out_groups = self.norm_groups if out_channels % self.norm_groups == 0 else out_channels
 
-        fused = self._fused_resblock(x, emb, deterministic, out_channels,
-                                     in_groups)
-        if fused is not None:
-            return fused
+        if not (self.up or self.down):
+            fused = self._fused_resblock(x, emb, deterministic, out_channels,
+                                         in_groups)
+            if fused is not None:
+                return fused
 
         h = self._gn_silu(x, "in_layers_0", in_groups, None, deterministic)
+        if self.up or self.down:
+            h = self._resample_hw(h, self.up)
+            x = self._resample_hw(x, self.up)
         h = Conv3x3x3(out_channels, name="in_layers_2",
                       kernel_init=conv_init("0"),
                       use_pallas=self.use_pallas_conv)(h)

@@ -30,6 +30,21 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e18
 
 
+def _keep_mask(shape, rate: float):
+    """Bernoulli(1-rate) keep mask from the seeded TPU PRNG (see
+    pallas_ffn's in-kernel dropout notes; real-TPU only)."""
+    bits = pltpu.prng_random_bits(shape)
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    thr = np.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
+    return (bits >= thr).astype(jnp.float32)
+
+
+def _fold_seed(seed):
+    from .pallas_ffn import _seed_words
+
+    return _seed_words(seed)
+
+
 def _attn_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     q = q_ref[0, 0, 0].astype(jnp.float32) * scale   # (vol, hc)
     k = k_ref[0, 0, 0].astype(jnp.float32)
@@ -93,6 +108,7 @@ def fused_cuboid_attention(
         return pl.pallas_call(
             functools.partial(_attn_kernel_nomask, scale=scale),
             grid=grid,
+            name="fused_cuboid_attention",
             in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -103,6 +119,7 @@ def fused_cuboid_attention(
     return pl.pallas_call(
         functools.partial(_attn_kernel_masked, scale=scale),
         grid=grid,
+        name="fused_cuboid_attention",
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -168,6 +185,7 @@ def fused_cuboid_attention_grouped(
         kernel = functools.partial(_attn_kernel_grouped, scale=scale, has_mask=False)
         return pl.pallas_call(
             kernel, grid=grid,
+            name="fused_cuboid_attention_grouped",
             in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -181,6 +199,7 @@ def fused_cuboid_attention_grouped(
     mask_spec = pl.BlockSpec((G, vol, vol), lambda b, h, n: (n, 0, 0))
     return pl.pallas_call(
         kernel, grid=grid,
+        name="fused_cuboid_attention_grouped",
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -313,6 +332,7 @@ def fused_cuboid_attention_layer(
     return pl.pallas_call(
         kernel,
         grid=grid,
+        name="fused_cuboid_attention_layer",
         in_specs=[
             pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
             pl.BlockSpec((C,), lambda b, n: (0,)),
@@ -350,11 +370,16 @@ def _fused_layer_kernel_v4(
                    #                 the (rep, maskadd) cuboid structure
     bm_ref,        # VMEM scratch (heads, R, R): expanded bias + mask
     *, num_heads, scale, eps, mxu_dtype, grid_rank=2,
+    rate_attn=0.0, rate_proj=0.0, seed_ref=None,
 ):
     dims = x_ref.shape[1:-1]
     C = x_ref.shape[-1]
     R = int(np.prod(dims))
     hc = C // num_heads
+    if seed_ref is not None:  # in-kernel PRNG dropout (round-4): unique
+        # stream per grid cell; draw order = head 0..H-1 then proj
+        pltpu.prng_seed(seed_ref[0], seed_ref[1],
+                        *[pl.program_id(d) for d in range(grid_rank)])
     first_cell = pl.program_id(1) == 0
     for d in range(2, grid_rank):
         first_cell = jnp.logical_and(first_cell, pl.program_id(d) == 0)
@@ -400,6 +425,8 @@ def _fused_layer_kernel_v4(
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if rate_attn > 0.0:
+            p = p * _keep_mask((R, R), rate_attn) / (1.0 - rate_attn)
         heads_out.append(jax.lax.dot(
             p.astype(mxu_dtype), v.astype(mxu_dtype),
             preferred_element_type=jnp.float32,
@@ -409,6 +436,8 @@ def _fused_layer_kernel_v4(
         attn.astype(mxu_dtype), wproj_ref[...].astype(mxu_dtype),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[0].astype(jnp.float32)
+    if rate_proj > 0.0:
+        out = out * _keep_mask((R, C), rate_proj) / (1.0 - rate_proj)
     o_ref[0] = out.reshape(dims + (C,)).astype(o_ref.dtype)
 
 
@@ -470,7 +499,7 @@ def build_blockdiag_biasmask(bias: jnp.ndarray, G: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "eps", "mxu_dtype_name",
-                              "interpret")
+                              "interpret", "rate_attn", "rate_proj")
 )
 def fused_cuboid_attention_layer_v4(
     x: jnp.ndarray,          # (B, nC, vol, C) reordered cuboids
@@ -485,20 +514,31 @@ def fused_cuboid_attention_layer_v4(
     eps: float = 1e-5,
     mxu_dtype_name: str = "bfloat16",
     interpret: bool = False,
+    seed: Optional[jnp.ndarray] = None,
+    rate_attn: float = 0.0,
+    rate_proj: float = 0.0,
 ) -> jnp.ndarray:
     """v4 whole attention layer: LN + one wide QKV dot + per-head DENSE
     (R, R) attention over G concatenated cuboids (block-diagonal bias/mask)
     + out-proj, one kernel.  Fixes v3's two losses: 12 narrow per-head
     QKV dots -> 1 wide dot, and G-batched tiny score matmuls -> one dense
-    MXU matmul per head.  No-mask configurations only (v1 axial)."""
+    MXU matmul per head.  No-mask configurations only (v1 axial).
+    With ``seed`` (real TPU only): in-kernel PRNG dropout on the attention
+    weights (rate_attn) and the projected output (rate_proj)."""
     B, nC, vol, C = x.shape
     G = pick_cuboid_group(nC, vol, C=C, num_heads=num_heads)
     assert G is not None, "caller must gate with pick_cuboid_group()"
     grid = (B, nC // G)
+    seeded = seed is not None
     kernel = functools.partial(
         _fused_layer_kernel_v4, num_heads=num_heads, scale=scale, eps=eps,
         mxu_dtype=jnp.dtype(mxu_dtype_name),
+        rate_attn=rate_attn if seeded else 0.0,
+        rate_proj=rate_proj if seeded else 0.0,
     )
+    if seeded:
+        base_kernel = kernel
+        kernel = lambda s_ref, *refs: base_kernel(*refs, seed_ref=s_ref)  # noqa: E731
     R = G * vol
     # static (per shape) constants: replication matrix and additive mask
     rep_np = np.zeros((R, vol), np.float32)
@@ -506,20 +546,27 @@ def fused_cuboid_attention_layer_v4(
     blockdiag = np.kron(np.eye(G, dtype=bool), np.ones((vol, vol), bool))
     maskadd_np = np.where(blockdiag, 0.0, NEG_INF).astype(np.float32)
     row = lambda v: v.reshape(1, -1)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
+        pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+        pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+        pl.BlockSpec((C, 3 * C), lambda b, n: (0, 0)),
+        pl.BlockSpec((num_heads, vol, vol), lambda b, n: (0, 0, 0)),
+        pl.BlockSpec((R, vol), lambda b, n: (0, 0)),
+        pl.BlockSpec((R, R), lambda b, n: (0, 0)),
+        pl.BlockSpec((C, C), lambda b, n: (0, 0)),
+        pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+    ]
+    args = [x, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
+            jnp.asarray(rep_np), jnp.asarray(maskadd_np), w_proj, row(b_proj)]
+    if seeded:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, _fold_seed(seed))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
-            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
-            pl.BlockSpec((C, 3 * C), lambda b, n: (0, 0)),
-            pl.BlockSpec((num_heads, vol, vol), lambda b, n: (0, 0, 0)),
-            pl.BlockSpec((R, vol), lambda b, n: (0, 0)),
-            pl.BlockSpec((R, R), lambda b, n: (0, 0)),
-            pl.BlockSpec((C, C), lambda b, n: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
-        ],
+        name="fused_cuboid_attention_layer_v4",
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=(
@@ -533,8 +580,7 @@ def fused_cuboid_attention_layer_v4(
             transcendentals=B * (nC // G) * num_heads * R * R,
         ),
         interpret=interpret,
-    )(x, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
-      jnp.asarray(rep_np), jnp.asarray(maskadd_np), w_proj, row(b_proj))
+    )(*args)
 
 
 def _fused_layer_bwd_dx_kernel_v4(
@@ -710,7 +756,8 @@ def axial_attention_plan(shape, axis: int, num_heads: Optional[int] = None):
 
 @functools.partial(
     jax.jit, static_argnames=("axis", "num_heads", "scale", "eps",
-                              "mxu_dtype_name", "interpret")
+                              "mxu_dtype_name", "interpret", "rate_attn",
+                              "rate_proj")
 )
 def fused_axial_attention_5d(
     x: jnp.ndarray,          # (B, T, H, W, C) natural layout
@@ -726,36 +773,54 @@ def fused_axial_attention_5d(
     eps: float = 1e-5,
     mxu_dtype_name: str = "bfloat16",
     interpret: bool = False,
+    seed: Optional[jnp.ndarray] = None,
+    rate_attn: float = 0.0,
+    rate_proj: float = 0.0,
 ) -> jnp.ndarray:
     """v4 whole-layer attention on the NATIVE (B,T,H,W,C) layout for axial
     patterns — the cuboid reorder/reverse transposes (a real HBM copy for
-    the T- and H-axis patterns) disappear into BlockSpec index maps."""
+    the T- and H-axis patterns) disappear into BlockSpec index maps.
+    With ``seed``: in-kernel PRNG dropout (see fused_cuboid_attention_layer_v4)."""
     plan = axial_attention_plan(x.shape, axis, num_heads=num_heads)
     assert plan is not None, "caller must gate with axial_attention_plan()"
     B, T, H, W, C = x.shape
     x_in = x.reshape(B, T * H, W, C) if axis == 2 else x
     out_shape = x_in.shape
     grid = (B,) + plan["grid_tail"]
+    seeded = seed is not None
     kernel = functools.partial(
         _fused_layer_kernel_v4, num_heads=num_heads, scale=scale, eps=eps,
         mxu_dtype=jnp.dtype(mxu_dtype_name), grid_rank=len(grid),
+        rate_attn=rate_attn if seeded else 0.0,
+        rate_proj=rate_proj if seeded else 0.0,
     )
+    if seeded:
+        base_kernel = kernel
+        kernel = lambda s_ref, *refs: base_kernel(*refs, seed_ref=s_ref)  # noqa: E731
     vol, R = plan["vol"], plan["R"]
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda *idx, _n=len(shape): (0,) * _n)
     row = lambda v: v.reshape(1, -1)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec(plan["block"], plan["index_map"]),
+        const((1, C)), const((1, C)),
+        const((C, 3 * C)),
+        const((num_heads, vol, vol)),
+        const((R, vol)),
+        const((R, R)),
+        const((C, C)), const((1, C)),
+    ]
+    args = [x_in, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
+            jnp.asarray(plan["rep"]), jnp.asarray(plan["maskadd"]),
+            w_proj, row(b_proj)]
+    if seeded:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, _fold_seed(seed))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(plan["block"], plan["index_map"]),
-            const((1, C)), const((1, C)),
-            const((C, 3 * C)),
-            const((num_heads, vol, vol)),
-            const((R, vol)),
-            const((R, R)),
-            const((C, C)), const((1, C)),
-        ],
+        name="fused_axial_attention_5d",
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(plan["block"], plan["index_map"]),
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         scratch_shapes=(
@@ -770,9 +835,7 @@ def fused_axial_attention_5d(
             transcendentals=B * int(np.prod(plan["grid_tail"])) * num_heads * R * R,
         ),
         interpret=interpret,
-    )(x_in, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
-      jnp.asarray(plan["rep"]), jnp.asarray(plan["maskadd"]),
-      w_proj, row(b_proj))
+    )(*args)
     return out.reshape(B, T, H, W, C) if axis == 2 else out
 
 
@@ -812,6 +875,7 @@ def fused_cuboid_attention_layer_v4_bwd_dx(
     return pl.pallas_call(
         kernel,
         grid=grid,
+        name="fused_cuboid_attention_layer_v4_bwd_dx",
         in_specs=[
             tile, tile,
             pl.BlockSpec((1, C), lambda b, n: (0, 0)),
@@ -877,6 +941,7 @@ def fused_axial_attention_5d_bwd_dx(
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        name="fused_axial_attention_5d_bwd_dx",
         in_specs=[
             tile, tile,
             const((1, C)), const((1, C)),
@@ -904,6 +969,440 @@ def fused_axial_attention_5d_bwd_dx(
       jnp.asarray(plan["rep"]), jnp.asarray(plan["maskadd"]),
       w_proj)
     return out.reshape(B, T, H, W, C) if axis == 2 else out
+
+
+def _fused_layer_bwd_full_kernel_v4(
+    x_ref,         # (1, *dims, C)
+    g_ref,         # (1, *dims, C) output cotangent
+    ln_scale_ref,  # (1, C)
+    ln_bias_ref,   # (1, C)
+    wqkv_ref,      # (C, 3C)
+    bias_ref,      # (heads, vol, vol)
+    rep_ref,       # (R, vol)
+    maskadd_ref,   # (R, R)
+    wproj_ref,     # (C, C)
+    dx_ref,        # (1, *dims, C)
+    dgamma_ref,    # (1, C)   f32, accumulated across the sequential grid
+    dbeta_ref,     # (1, C)
+    dwqkv_ref,     # (C, 3C)
+    dbias_ref,     # (heads, vol, vol)
+    dwproj_ref,    # (C, C)
+    dbproj_ref,    # (1, C)
+    bm_ref,        # VMEM scratch (heads, R, R)
+    *, num_heads, scale, eps, mxu_dtype, grid_rank=2,
+    rate_attn=0.0, rate_proj=0.0, seed_ref=None,
+):
+    """dL/d(everything) of the v4 whole-layer attention in ONE kernel — the
+    TRAIN-path backward (probe65's FFN treatment generalized, VERDICT r3
+    next-round #1): the dx backward already recomputes ln/qkv/p in VMEM, so
+    every parameter grad is a few extra in-kernel contractions instead of the
+    XLA recompute of the whole attention forward.  Parameter grads accumulate
+    f32 into constant-index-map outputs over the sequential grid.
+
+    dbias uses the same rep-matrix trick as the forward's bias expansion, in
+    reverse: ds vanishes off the cuboid block diagonal (p is exactly 0 there),
+    so dbias_h = rep^T @ ds_h @ rep gathers every (i, j) score-grad into its
+    within-cuboid position pair — two tiny MXU matmuls per head."""
+    dims = x_ref.shape[1:-1]
+    C = x_ref.shape[-1]
+    R = int(np.prod(dims))
+    hc = C // num_heads
+    # regenerate the forward's dropout masks: same seed/grid-cell stream,
+    # masks drawn UPFRONT in the forward's order (head 0..H-1, then proj)
+    m_heads, m_proj = None, None
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0], seed_ref[1],
+                        *[pl.program_id(d) for d in range(grid_rank)])
+        if rate_attn > 0.0:
+            m_heads = [_keep_mask((R, R), rate_attn)
+                       for _ in range(num_heads)]
+        if rate_proj > 0.0:
+            m_proj = _keep_mask((R, C), rate_proj)
+    first_cell = pl.program_id(1) == 0
+    first_all = pl.program_id(0) == 0
+    for d in range(2, grid_rank):
+        first_cell = jnp.logical_and(first_cell, pl.program_id(d) == 0)
+    first_all = jnp.logical_and(first_all, first_cell)
+
+    @pl.when(first_cell)
+    def _():
+        rep_ = rep_ref[...]
+        for h in range(num_heads):
+            bm_ref[h] = jax.lax.dot(
+                jax.lax.dot(rep_, bias_ref[h], preferred_element_type=jnp.float32),
+                rep_.T, preferred_element_type=jnp.float32,
+            ) + maskadd_ref[...]
+
+    x = x_ref[0].reshape(R, C).astype(jnp.float32)
+    g = g_ref[0].reshape(R, C).astype(jnp.float32)
+    gamma = ln_scale_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    sigma_inv = jax.lax.rsqrt(var + eps)
+    nhat = (x - mu) * sigma_inv
+    ln = nhat * gamma + ln_bias_ref[0].astype(jnp.float32)
+    qkv = jax.lax.dot(
+        ln.astype(mxu_dtype), wqkv_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    )  # (R, 3C)
+    do = g if m_proj is None else g * m_proj / (1.0 - rate_proj)
+    dattn = jax.lax.dot_general(  # do @ wproj^T
+        do.astype(mxu_dtype), wproj_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    rep = rep_ref[...]
+    dq_cols, dk_cols, dv_cols = [], [], []
+    attn_cols, dbias_heads = [], []
+    for h in range(num_heads):
+        qs = qkv[:, h * hc:(h + 1) * hc] * scale
+        k = qkv[:, C + h * hc:C + (h + 1) * hc]
+        v = qkv[:, 2 * C + h * hc:2 * C + (h + 1) * hc]
+        s = jax.lax.dot_general(
+            qs.astype(mxu_dtype), k.astype(mxu_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + bm_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # p_d = the forward's (possibly dropout-masked) attention weights;
+        # the softmax backward below still uses the unmasked p
+        p_d = p if m_heads is None else p * m_heads[h] / (1.0 - rate_attn)
+        dOh = dattn[:, h * hc:(h + 1) * hc]
+        attn_cols.append(jax.lax.dot(  # the forward head output, for dwproj
+            p_d.astype(mxu_dtype), v.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        ))
+        dp = jax.lax.dot_general(  # dOh @ v^T
+            dOh.astype(mxu_dtype), v.astype(mxu_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if m_heads is not None:  # through the p-dropout
+            dp = dp * m_heads[h] / (1.0 - rate_attn)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_heads.append(jax.lax.dot(
+            jax.lax.dot_general(  # rep^T @ ds -> (vol, R)
+                rep, ds, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            rep, preferred_element_type=jnp.float32,
+        ))
+        dq_cols.append(jax.lax.dot(
+            ds.astype(mxu_dtype), k.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dk_cols.append(jax.lax.dot_general(  # ds^T @ qs
+            ds.astype(mxu_dtype), qs.astype(mxu_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+        dv_cols.append(jax.lax.dot_general(  # p_d^T @ dOh
+            p_d.astype(mxu_dtype), dOh.astype(mxu_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # (R, 3C)
+    attn = jnp.concatenate(attn_cols, axis=-1)                    # (R, C)
+    dln = jax.lax.dot_general(  # dqkv @ wqkv^T
+        dqkv.astype(mxu_dtype), wqkv_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dnhat = dln * gamma
+    dx = sigma_inv * (
+        dnhat
+        - jnp.mean(dnhat, axis=-1, keepdims=True)
+        - nhat * jnp.mean(dnhat * nhat, axis=-1, keepdims=True)
+    )
+    dx_ref[0] = dx.reshape(dims + (C,)).astype(dx_ref.dtype)
+
+    # ---- parameter-grad tiles (contract over this cell's rows) ----------- #
+    dwproj_t = jax.lax.dot_general(  # attn^T @ do -> (C, C)
+        attn.astype(mxu_dtype), do.astype(mxu_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dwqkv_t = jax.lax.dot_general(  # ln^T @ dqkv -> (C, 3C)
+        ln.astype(mxu_dtype), dqkv.astype(mxu_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dbproj_t = jnp.sum(do, axis=0, keepdims=True)
+    dgamma_t = jnp.sum(dln * nhat, axis=0, keepdims=True)
+    dbeta_t = jnp.sum(dln, axis=0, keepdims=True)
+    dbias_t = jnp.stack(dbias_heads)
+
+    @pl.when(first_all)
+    def _():
+        dwproj_ref[...] = dwproj_t
+        dwqkv_ref[...] = dwqkv_t
+        dbproj_ref[...] = dbproj_t
+        dgamma_ref[...] = dgamma_t
+        dbeta_ref[...] = dbeta_t
+        dbias_ref[...] = dbias_t
+
+    @pl.when(jnp.logical_not(first_all))
+    def _():
+        dwproj_ref[...] += dwproj_t
+        dwqkv_ref[...] += dwqkv_t
+        dbproj_ref[...] += dbproj_t
+        dgamma_ref[...] += dgamma_t
+        dbeta_ref[...] += dbeta_t
+        dbias_ref[...] += dbias_t
+
+
+# like pallas_ffn.FULL_BWD_VMEM_LIMIT / pallas_resblock: the all-grads
+# backward carries f32 dwqkv/dwproj accumulators and per-head unrolled-loop
+# temporaries on the scoped-vmem STACK, so raise the per-kernel limit and
+# budget the stack explicitly in the gate (probe58 lesson)
+ATTN_FULL_BWD_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _v4_full_bwd_bytes(R: int, vol: int, C: int, num_heads: int) -> int:
+    """f32 bytes live in one full-backward grid cell: the dx backward's set
+    plus dwqkv/dwproj accumulators, the attn tile, and a stack allowance for
+    the unrolled per-head s/p/ds/dp temporaries (every iteration's
+    temporaries stay live on Mosaic's scoped-vmem stack)."""
+    return 4 * (
+        num_heads * R * R          # bm scratch
+        + R * R + R * vol          # maskadd + rep
+        + 2 * 4 * C * C            # w_qkv/w_proj staged + dwqkv/dwproj accs
+        + 2 * num_heads * vol * vol  # bias in + dbias acc
+        + 3 * R * C                # x, g, dx tiles
+        + 8 * R * C                # qkv, dqkv, ln/nhat, attn, dattn, misc
+        + 5 * num_heads * R * R    # stack: per-head s/p/ds/dp/partials
+    )
+
+
+def supports_v4_full_bwd(R: int, vol: int, C: int, num_heads: int) -> bool:
+    return _v4_full_bwd_bytes(R, vol, C, num_heads) <= int(
+        0.75 * ATTN_FULL_BWD_VMEM_LIMIT
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "mxu_dtype_name",
+                              "interpret", "rate_attn", "rate_proj")
+)
+def fused_cuboid_attention_layer_v4_bwd_full(
+    x: jnp.ndarray,          # (B, nC, vol, C) reordered cuboids
+    g: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    mxu_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+    seed: Optional[jnp.ndarray] = None,
+    rate_attn: float = 0.0,
+    rate_proj: float = 0.0,
+):
+    """One-kernel backward of the v4 layer:
+    (dx, dgamma, dbeta, dwqkv, dbias, dwproj, dbproj).  With ``seed``, the
+    forward's in-kernel dropout masks are regenerated (same stream)."""
+    B, nC, vol, C = x.shape
+    G = pick_cuboid_group(nC, vol, C=C, num_heads=num_heads)
+    assert G is not None, "caller must gate with pick_cuboid_group()"
+    R = G * vol
+    assert supports_v4_full_bwd(R, vol, C, num_heads), (
+        "caller must gate with supports_v4_full_bwd()"
+    )
+    grid = (B, nC // G)
+    seeded = seed is not None
+    kernel = functools.partial(
+        _fused_layer_bwd_full_kernel_v4, num_heads=num_heads, scale=scale,
+        eps=eps, mxu_dtype=jnp.dtype(mxu_dtype_name),
+        rate_attn=rate_attn if seeded else 0.0,
+        rate_proj=rate_proj if seeded else 0.0,
+    )
+    if seeded:
+        base_kernel = kernel
+        kernel = lambda s_ref, *refs: base_kernel(*refs, seed_ref=s_ref)  # noqa: E731
+    rep_np = np.zeros((R, vol), np.float32)
+    rep_np[np.arange(R), np.arange(R) % vol] = 1.0
+    blockdiag = np.kron(np.eye(G, dtype=bool), np.ones((vol, vol), bool))
+    maskadd_np = np.where(blockdiag, 0.0, NEG_INF).astype(np.float32)
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    tile = pl.BlockSpec((1, G, vol, C), lambda b, n: (b, n, 0, 0))
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda *idx, _n=len(shape): (0,) * _n)
+    f32 = jnp.float32
+    in_specs = [
+        tile, tile,
+        const((1, C)), const((1, C)),
+        const((C, 3 * C)),
+        const((num_heads, vol, vol)),
+        const((R, vol)),
+        const((R, R)),
+        const((C, C)),
+    ]
+    if seeded:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        name="fused_cuboid_attention_layer_v4_bwd_full",
+        in_specs=in_specs,
+        out_specs=(
+            tile,
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)),
+            const((num_heads, vol, vol)),
+            const((C, C)), const((1, C)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, 3 * C), f32),
+            jax.ShapeDtypeStruct((num_heads, vol, vol), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((num_heads, R, R), jnp.float32)] if _HAS_PLTPU else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (2 * B * nC * vol * C * 4 * C
+                       + 2 * 2 * B * (nC // G) * num_heads * R * R
+                       * (C // num_heads)),
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + 2 * (w_qkv.size + w_proj.size) * 4,
+            transcendentals=B * (nC // G) * num_heads * R * R,
+        ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=ATTN_FULL_BWD_VMEM_LIMIT)
+            if pltpu is not None else None
+        ),
+        interpret=interpret,
+    )(*([_fold_seed(seed)] if seeded else [])
+      + [x, g, row(ln_scale), row(ln_bias), w_qkv, bias.astype(jnp.float32),
+         jnp.asarray(rep_np), jnp.asarray(maskadd_np), w_proj])
+    dx, dgamma, dbeta, dwqkv, dbias, dwproj, dbproj = outs
+    return (
+        dx,
+        dgamma.reshape(-1).astype(ln_scale.dtype),
+        dbeta.reshape(-1).astype(ln_bias.dtype),
+        dwqkv.astype(w_qkv.dtype),
+        dbias.astype(bias.dtype),
+        dwproj.astype(w_proj.dtype),
+        dbproj.reshape(-1).astype(ln_scale.dtype),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "num_heads", "scale", "eps",
+                              "mxu_dtype_name", "interpret", "rate_attn",
+                              "rate_proj")
+)
+def fused_axial_attention_5d_bwd_full(
+    x: jnp.ndarray,          # (B, T, H, W, C) natural layout
+    g: jnp.ndarray,
+    axis: int,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    mxu_dtype_name: str = "bfloat16",
+    interpret: bool = False,
+    seed: Optional[jnp.ndarray] = None,
+    rate_attn: float = 0.0,
+    rate_proj: float = 0.0,
+):
+    """One-kernel all-grads backward on the natural axial layout.  With
+    ``seed``, the forward's in-kernel dropout masks are regenerated."""
+    plan = axial_attention_plan(x.shape, axis, num_heads=num_heads)
+    assert plan is not None, "caller must gate with axial_attention_plan()"
+    B, T, H, W, C = x.shape
+    vol, R = plan["vol"], plan["R"]
+    assert supports_v4_full_bwd(R, vol, C, num_heads), (
+        "caller must gate with supports_v4_full_bwd()"
+    )
+    x_in = x.reshape(B, T * H, W, C) if axis == 2 else x
+    g_in = g.reshape(B, T * H, W, C) if axis == 2 else g
+    grid = (B,) + plan["grid_tail"]
+    seeded = seed is not None
+    kernel = functools.partial(
+        _fused_layer_bwd_full_kernel_v4, num_heads=num_heads, scale=scale,
+        eps=eps, mxu_dtype=jnp.dtype(mxu_dtype_name), grid_rank=len(grid),
+        rate_attn=rate_attn if seeded else 0.0,
+        rate_proj=rate_proj if seeded else 0.0,
+    )
+    if seeded:
+        base_kernel = kernel
+        kernel = lambda s_ref, *refs: base_kernel(*refs, seed_ref=s_ref)  # noqa: E731
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda *idx, _n=len(shape): (0,) * _n)
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    tile = pl.BlockSpec(plan["block"], plan["index_map"])
+    f32 = jnp.float32
+    in_specs = [
+        tile, tile,
+        const((1, C)), const((1, C)),
+        const((C, 3 * C)),
+        const((num_heads, vol, vol)),
+        const((R, vol)),
+        const((R, R)),
+        const((C, C)),
+    ]
+    if seeded:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        name="fused_axial_attention_5d_bwd_full",
+        in_specs=in_specs,
+        out_specs=(
+            tile,
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)),
+            const((num_heads, vol, vol)),
+            const((C, C)), const((1, C)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x_in.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, 3 * C), f32),
+            jax.ShapeDtypeStruct((num_heads, vol, vol), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((num_heads, R, R), jnp.float32)] if _HAS_PLTPU else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (2 * B * T * H * W * C * 4 * C
+                       + 2 * 2 * B * int(np.prod(plan["grid_tail"]))
+                       * num_heads * R * R * (C // num_heads)),
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + 2 * (w_qkv.size + w_proj.size) * 4,
+            transcendentals=B * int(np.prod(plan["grid_tail"])) * num_heads
+            * R * R,
+        ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=ATTN_FULL_BWD_VMEM_LIMIT)
+            if pltpu is not None else None
+        ),
+        interpret=interpret,
+    )(*([_fold_seed(seed)] if seeded else [])
+      + [x_in, g_in, row(ln_scale), row(ln_bias), w_qkv,
+         bias.astype(jnp.float32), jnp.asarray(plan["rep"]),
+         jnp.asarray(plan["maskadd"]), w_proj])
+    dx, dgamma, dbeta, dwqkv, dbias, dwproj, dbproj = outs
+    if axis == 2:
+        dx = dx.reshape(B, T, H, W, C)
+    return (
+        dx,
+        dgamma.reshape(-1).astype(ln_scale.dtype),
+        dbeta.reshape(-1).astype(ln_bias.dtype),
+        dwqkv.astype(w_qkv.dtype),
+        dbias.astype(bias.dtype),
+        dwproj.astype(w_proj.dtype),
+        dbproj.reshape(-1).astype(ln_scale.dtype),
+    )
 
 
 def cuboid_layer_attention_reference(x, ln_scale, ln_bias, w_qkv, bias,
@@ -955,14 +1454,18 @@ def _axial_param_grads(x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj,
     return vjp(gr)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_cuboid_attention_layer_v4_diff(
     x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
     num_heads, scale, eps=1e-5, mxu_dtype_name="bfloat16", interpret=False,
+    full_bwd=False,
 ):
     """Differentiable v4 whole-layer attention (round-3): forward = the v4
     kernel; backward = fused Pallas dx kernel + XLA-recomputed param grads
-    (DCE'd under input-only differentiation, e.g. alignment guidance)."""
+    (DCE'd under input-only differentiation, e.g. alignment guidance), OR —
+    with ``full_bwd`` (the TRAIN path, where parameter grads are known to be
+    consumed) — ONE Pallas kernel computing dx and every parameter grad
+    (round-4, probe65's FFN treatment generalized)."""
     return fused_cuboid_attention_layer_v4(
         x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
         eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
@@ -970,7 +1473,7 @@ def fused_cuboid_attention_layer_v4_diff(
 
 
 def _v4_diff_fwd(x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-                 num_heads, scale, eps, mxu_dtype_name, interpret):
+                 num_heads, scale, eps, mxu_dtype_name, interpret, full_bwd):
     out = fused_cuboid_attention_layer_v4(
         x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
         eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
@@ -978,13 +1481,25 @@ def _v4_diff_fwd(x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
     return out, (x, ln_scale, ln_bias, w_qkv, bias, w_proj)
 
 
-def _v4_diff_bwd(num_heads, scale, eps, mxu_dtype_name, interpret, res, g):
+def _v4_diff_bwd(num_heads, scale, eps, mxu_dtype_name, interpret, full_bwd,
+                 res, g):
     x, ln_scale, ln_bias, w_qkv, bias, w_proj = res
+    B, nC, vol, C = x.shape
+    if full_bwd:
+        G = pick_cuboid_group(nC, vol, C=C, num_heads=num_heads)
+        if G is not None and supports_v4_full_bwd(G * vol, vol, C, num_heads):
+            dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj = (
+                fused_cuboid_attention_layer_v4_bwd_full(
+                    x, g, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads,
+                    scale, eps=eps, mxu_dtype_name=mxu_dtype_name,
+                    interpret=interpret,
+                )
+            )
+            return dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj
     dx = fused_cuboid_attention_layer_v4_bwd_dx(
         x, g, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads, scale,
         eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
     )
-    C = x.shape[-1]
     _, vjp = jax.vjp(
         lambda gam, bet, wq, bi, wp: cuboid_layer_attention_reference(
             x, gam, bet, wq, bi, wp, jnp.zeros((C,), x.dtype), num_heads,
@@ -1000,12 +1515,16 @@ def _v4_diff_bwd(num_heads, scale, eps, mxu_dtype_name, interpret, res, g):
 fused_cuboid_attention_layer_v4_diff.defvjp(_v4_diff_fwd, _v4_diff_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 8, 9, 10, 11, 12, 13))
 def fused_axial_attention_5d_diff(
     x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
     num_heads, scale, eps=1e-5, mxu_dtype_name="bfloat16", interpret=False,
+    full_bwd=False,
 ):
-    """Differentiable natural-layout axial whole-layer attention."""
+    """Differentiable natural-layout axial whole-layer attention.  With
+    ``full_bwd`` (train path) the backward is ONE Pallas kernel computing dx
+    and every parameter grad; otherwise dx kernel + XLA-recomputed param
+    grads (DCE'd under guidance)."""
     return fused_axial_attention_5d(
         x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
         num_heads, scale, eps=eps, mxu_dtype_name=mxu_dtype_name,
@@ -1014,7 +1533,8 @@ def fused_axial_attention_5d_diff(
 
 
 def _axial_diff_fwd(x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-                    num_heads, scale, eps, mxu_dtype_name, interpret):
+                    num_heads, scale, eps, mxu_dtype_name, interpret,
+                    full_bwd):
     out = fused_axial_attention_5d(
         x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
         num_heads, scale, eps=eps, mxu_dtype_name=mxu_dtype_name,
@@ -1024,8 +1544,21 @@ def _axial_diff_fwd(x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
 
 
 def _axial_diff_bwd(axis, num_heads, scale, eps, mxu_dtype_name, interpret,
-                    res, g):
+                    full_bwd, res, g):
     x, ln_scale, ln_bias, w_qkv, bias, w_proj = res
+    if full_bwd:
+        plan = axial_attention_plan(x.shape, axis, num_heads=num_heads)
+        if plan is not None and supports_v4_full_bwd(
+            plan["R"], plan["vol"], x.shape[-1], num_heads
+        ):
+            dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj = (
+                fused_axial_attention_5d_bwd_full(
+                    x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj,
+                    num_heads, scale, eps=eps,
+                    mxu_dtype_name=mxu_dtype_name, interpret=interpret,
+                )
+            )
+            return dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj
     dx = fused_axial_attention_5d_bwd_dx(
         x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads, scale,
         eps=eps, mxu_dtype_name=mxu_dtype_name, interpret=interpret,
@@ -1041,6 +1574,103 @@ def _axial_diff_bwd(axis, num_heads, scale, eps, mxu_dtype_name, interpret,
 
 
 fused_axial_attention_5d_diff.defvjp(_axial_diff_fwd, _axial_diff_bwd)
+
+
+def supports_attention_dropout(R: int, vol: int, C: int,
+                               num_heads: int) -> bool:
+    """In-kernel attention dropout needs a real TPU (pltpu.prng_* has no
+    interpret lowering) and the full-backward VMEM budget (the backward is
+    always the all-grads kernel — dropout only exists on the train path)."""
+    return (
+        _HAS_PLTPU
+        and jax.default_backend() == "tpu"
+        and supports_v4_full_bwd(R, vol, C, num_heads)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def fused_cuboid_attention_layer_v4_dropout_diff(
+    x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+    num_heads, scale, eps=1e-5, rate_attn=0.0, rate_proj=0.0,
+):
+    """v4 whole-layer attention with in-kernel PRNG dropout on the attention
+    weights and the projected output (round-4, VERDICT r3 #2).  TRAIN path
+    only (real TPU; callers gate with supports_attention_dropout); backward
+    is the one-kernel all-grads backward regenerating the identical masks
+    from ``seed``.  Masks come from the TPU PRNG stream, not flax Dropout's
+    threefry draws — an equally-valid, differently-drawn trajectory."""
+    return fused_cuboid_attention_layer_v4(
+        x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
+        eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        rate_attn=rate_attn, rate_proj=rate_proj,
+    )
+
+
+def _v4_dropout_diff_fwd(x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj,
+                         b_proj, num_heads, scale, eps, rate_attn, rate_proj):
+    out = fused_cuboid_attention_layer_v4(
+        x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
+        eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        rate_attn=rate_attn, rate_proj=rate_proj,
+    )
+    return out, (x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj)
+
+
+def _v4_dropout_diff_bwd(num_heads, scale, eps, rate_attn, rate_proj, res, g):
+    x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj = res
+    dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj = (
+        fused_cuboid_attention_layer_v4_bwd_full(
+            x, g, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads, scale,
+            eps=eps, seed=seed, rate_attn=rate_attn, rate_proj=rate_proj,
+        )
+    )
+    return dx, None, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj
+
+
+fused_cuboid_attention_layer_v4_dropout_diff.defvjp(
+    _v4_dropout_diff_fwd, _v4_dropout_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 9, 10, 11, 12, 13))
+def fused_axial_attention_5d_dropout_diff(
+    x, seed, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+    num_heads, scale, eps=1e-5, rate_attn=0.0, rate_proj=0.0,
+):
+    """Natural-layout axial attention with in-kernel PRNG dropout (see
+    fused_cuboid_attention_layer_v4_dropout_diff)."""
+    return fused_axial_attention_5d(
+        x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+        num_heads, scale, eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        rate_attn=rate_attn, rate_proj=rate_proj,
+    )
+
+
+def _axial_dropout_diff_fwd(x, seed, axis, ln_scale, ln_bias, w_qkv, bias,
+                            w_proj, b_proj, num_heads, scale, eps,
+                            rate_attn, rate_proj):
+    out = fused_axial_attention_5d(
+        x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
+        num_heads, scale, eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        rate_attn=rate_attn, rate_proj=rate_proj,
+    )
+    return out, (x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj)
+
+
+def _axial_dropout_diff_bwd(axis, num_heads, scale, eps, rate_attn,
+                            rate_proj, res, g):
+    x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj = res
+    dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj = (
+        fused_axial_attention_5d_bwd_full(
+            x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads,
+            scale, eps=eps, seed=seed, rate_attn=rate_attn,
+            rate_proj=rate_proj,
+        )
+    )
+    return dx, None, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj
+
+
+fused_axial_attention_5d_dropout_diff.defvjp(
+    _axial_dropout_diff_fwd, _axial_dropout_diff_bwd)
 
 
 def cuboid_attention_reference(q, k, v, bias, mask=None, scale=1.0):

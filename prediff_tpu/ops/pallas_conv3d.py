@@ -148,6 +148,7 @@ def fused_conv3x3x3(x, kernel, bias, mxu_dtype_name: str = "bfloat16",
         functools.partial(_conv_kernel, offs=offs, rt=rt,
                           off_pad=Rpad - n_rows * rt),
         grid=(B, OC // oc_tile, n_rows),
+        name="fused_conv3x3x3",
         in_specs=[
             pl.BlockSpec((1, Rpad, C), lambda b, j, i: (b, 0, 0)),
             pl.BlockSpec((27 * C, oc_tile), lambda b, j, i: (0, j)),

@@ -160,6 +160,7 @@ def fused_ffn(
     return pl.pallas_call(
         kernel,
         grid=grid,
+        name="fused_ffn",
         in_specs=[
             pl.BlockSpec((tm, C), lambda i: (i, 0)),
             const2((1, C)), const2((1, C)),
@@ -392,6 +393,7 @@ def fused_ffn_bwd_full(
     dx, dgamma, dbeta, dw1, db1, dw2, db2 = pl.pallas_call(
         kernel,
         grid=(tokens // tm,),
+        name="fused_ffn_bwd_full",
         in_specs=[
             tile, tile,
             const2((1, C)), const2((1, C)),
@@ -473,6 +475,7 @@ def fused_ffn_bwd_dx(
     return pl.pallas_call(
         kernel,
         grid=grid,
+        name="fused_ffn_bwd_dx",
         in_specs=[
             tile, tile,
             const2((1, C)), const2((1, C)),
@@ -489,6 +492,318 @@ def fused_ffn_bwd_dx(
         ),
         interpret=interpret,
     )(x, g, row(ln_scale), row(ln_bias), w1, row(b1), w2)
+
+
+# ---------------------------------------------------------------------- #
+# In-kernel PRNG dropout (round-4, VERDICT r3 #2): serves the v1
+# dropout-0.1 recipe with the fused kernels.  The forward and the one-kernel
+# backward seed pltpu's per-core PRNG identically — (seed words, tile index)
+# — and draw bits in the same order over the SAME tile grid, so the backward
+# applies exactly the forward's masks without materializing them in HBM.
+# Draw-for-draw NOTE: the masks come from the TPU hardware PRNG stream, NOT
+# from flax Dropout's threefry draws — a kernels-on training run takes a
+# different (equally valid) dropout trajectory than the XLA path.  No
+# interpret-mode lowering exists for pltpu.prng_*, so numerical tests are
+# TPU-side probes (scripts/probes/tpu_probe67_kernel_dropout.py).
+# ---------------------------------------------------------------------- #
+
+
+def _keep_mask(shape, rate: float):
+    """Bernoulli(1-rate) keep mask drawn from the seeded kernel PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    thr = np.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
+    return (bits >= thr).astype(jnp.float32)
+
+
+def _ffn_dropout_fwd_kernel(
+    seed_ref,      # (2,) int32 SMEM
+    x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    o_ref,
+    *, eps, activation, mxu_dtype, rate_act, rate_out,
+):
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    x = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale_ref[0].astype(jnp.float32) + ln_bias_ref[0].astype(jnp.float32)
+    z = jax.lax.dot(
+        ln.astype(mxu_dtype), w1_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    a = _apply_activation(z, activation)
+    if rate_act > 0.0:
+        a = a * _keep_mask(a.shape, rate_act) / (1.0 - rate_act)
+    out = jax.lax.dot(
+        a.astype(mxu_dtype), w2_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    if rate_out > 0.0:
+        out = out * _keep_mask(out.shape, rate_out) / (1.0 - rate_out)
+    o_ref[...] = (x + out).astype(o_ref.dtype)
+
+
+def _ffn_dropout_bwd_full_kernel(
+    seed_ref,      # (2,) int32 SMEM — same words as the forward
+    x_ref, g_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref,
+    dx_ref, dgamma_ref, dbeta_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, eps, activation, mxu_dtype, rate_act, rate_out,
+):
+    """All-grads backward regenerating the forward's dropout masks: same
+    seed, same tile grid, same draw order.  Both masks are drawn UPFRONT in
+    the forward's order (m1 over the hidden activation, then m2 over the
+    output) — the PRNG stream advances per draw, so upfront draws of the
+    same shapes yield bit-identical masks."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+    hidden = w1_ref.shape[1]
+    tm, C = x_ref.shape
+    m1 = _keep_mask((tm, hidden), rate_act) if rate_act > 0.0 else None
+    m2 = _keep_mask((tm, C), rate_out) if rate_out > 0.0 else None
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    gamma = ln_scale_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    sigma_inv = jax.lax.rsqrt(var + eps)
+    nhat = (x - mu) * sigma_inv
+    ln = nhat * gamma + ln_bias_ref[0].astype(jnp.float32)
+    z = jax.lax.dot(
+        ln.astype(mxu_dtype), w1_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    a = _apply_activation(z, activation)
+    if m1 is not None:
+        a = a * m1 / (1.0 - rate_act)
+    # cotangent of `out` before its dropout
+    do = g if m2 is None else g * m2 / (1.0 - rate_out)
+    da = jax.lax.dot_general(  # do @ w2^T
+        do.astype(mxu_dtype), w2_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dz = da * _apply_activation_grad(z, activation)
+    if m1 is not None:
+        dz = dz * m1 / (1.0 - rate_act)
+    dln = jax.lax.dot_general(  # dz @ w1^T
+        dz.astype(mxu_dtype), w1_ref[...].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dnhat = dln * gamma
+    dx_ln = sigma_inv * (
+        dnhat
+        - jnp.mean(dnhat, axis=-1, keepdims=True)
+        - nhat * jnp.mean(dnhat * nhat, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
+
+    dw2_t = jax.lax.dot_general(  # a^T @ do
+        a.astype(mxu_dtype), do.astype(mxu_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dw1_t = jax.lax.dot_general(  # ln^T @ dz
+        ln.astype(mxu_dtype), dz.astype(mxu_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    db2_t = jnp.sum(do, axis=0, keepdims=True)
+    db1_t = jnp.sum(dz, axis=0, keepdims=True)
+    dgamma_t = jnp.sum(dln * nhat, axis=0, keepdims=True)
+    dbeta_t = jnp.sum(dln, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw2_ref[...] = dw2_t
+        dw1_ref[...] = dw1_t
+        db2_ref[...] = db2_t
+        db1_ref[...] = db1_t
+        dgamma_ref[...] = dgamma_t
+        dbeta_ref[...] = dbeta_t
+
+    @pl.when(i > 0)
+    def _():
+        dw2_ref[...] += dw2_t
+        dw1_ref[...] += dw1_t
+        db2_ref[...] += db2_t
+        db1_ref[...] += db1_t
+        dgamma_ref[...] += dgamma_t
+        dbeta_ref[...] += dbeta_t
+
+
+def supports_dropout_shape(tokens: int, C: int, hidden: int) -> bool:
+    """Gate for the dropout kernels: forward AND backward share the full-bwd
+    tile (so their PRNG streams align), and pltpu.prng_* needs a real TPU."""
+    return (
+        _HAS_PLTPU
+        and jax.default_backend() == "tpu"
+        and supports_full_bwd_shape(tokens, C, hidden)
+    )
+
+
+def _seed_words(seed: jnp.ndarray) -> jnp.ndarray:
+    """Fold an rng key's raw data (2 words threefry / 4 words rbg) into the
+    (2,) int32 the kernels seed with."""
+    kd = seed.reshape(-1).astype(jnp.uint32)
+    s0, s1 = kd[0], kd[-1]
+    if kd.shape[0] > 2:
+        s0 = s0 ^ kd[1]
+        s1 = s1 ^ kd[-2]
+    return jnp.stack([s0, s1]).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "rate_act", "rate_out",
+                     "mxu_dtype_name"),
+)
+def fused_ffn_dropout(
+    x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
+    eps: float = 1e-5, activation: str = "gelu",
+    rate_act: float = 0.0, rate_out: float = 0.0,
+    mxu_dtype_name: str = "bfloat16",
+):
+    """Fused FFN with in-kernel PRNG dropout (train path, real TPU only)."""
+    tokens, C = x.shape
+    hidden = w1.shape[1]
+    tm = pick_token_tile(tokens, hidden, max_bytes=FULL_BWD_TILE_BYTES)
+    assert tm is not None, "caller must gate with supports_dropout_shape()"
+    kernel = functools.partial(
+        _ffn_dropout_fwd_kernel, eps=eps, activation=activation,
+        mxu_dtype=jnp.dtype(mxu_dtype_name), rate_act=rate_act,
+        rate_out=rate_out,
+    )
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    tile = pl.BlockSpec((tm, C), lambda i: (i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(tokens // tm,),
+        name="fused_ffn_dropout",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile,
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((hidden, C)), const2((1, C)),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * tokens * C * hidden,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (w1.size + w2.size) * w1.dtype.itemsize,
+            transcendentals=2 * tokens * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=FULL_BWD_VMEM_LIMIT),
+    )(_seed_words(seed), x, row(ln_scale), row(ln_bias), w1, row(b1), w2,
+      row(b2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "rate_act", "rate_out",
+                     "mxu_dtype_name"),
+)
+def fused_ffn_dropout_bwd_full(
+    x, g, seed, ln_scale, ln_bias, w1, b1, w2,
+    eps: float = 1e-5, activation: str = "gelu",
+    rate_act: float = 0.0, rate_out: float = 0.0,
+    mxu_dtype_name: str = "bfloat16",
+):
+    """One-kernel all-grads backward with the forward's dropout masks
+    regenerated from the same seed."""
+    tokens, C = x.shape
+    hidden = w1.shape[1]
+    tm = pick_token_tile(tokens, hidden, max_bytes=FULL_BWD_TILE_BYTES)
+    assert tm is not None, "caller must gate with supports_dropout_shape()"
+    kernel = functools.partial(
+        _ffn_dropout_bwd_full_kernel, eps=eps, activation=activation,
+        mxu_dtype=jnp.dtype(mxu_dtype_name), rate_act=rate_act,
+        rate_out=rate_out,
+    )
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    tile = pl.BlockSpec((tm, C), lambda i: (i, 0))
+    f32 = jnp.float32
+    dx, dgamma, dbeta, dw1, db1, dw2, db2 = pl.pallas_call(
+        kernel,
+        grid=(tokens // tm,),
+        name="fused_ffn_dropout_bwd_full",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile, tile,
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((hidden, C)),
+        ],
+        out_specs=(
+            tile,
+            const2((1, C)), const2((1, C)),
+            const2((C, hidden)), const2((1, hidden)),
+            const2((hidden, C)), const2((1, C)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * tokens * C * hidden,
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + 2 * (w1.size + w2.size) * 4,
+            transcendentals=2 * tokens * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=FULL_BWD_VMEM_LIMIT),
+    )(_seed_words(seed), x, g, row(ln_scale), row(ln_bias), w1, row(b1), w2)
+    return (
+        dx,
+        dgamma.reshape(-1).astype(ln_scale.dtype),
+        dbeta.reshape(-1).astype(ln_bias.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(-1).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(-1).astype(w2.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_ffn_dropout_diff(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
+                           eps=1e-5, activation="gelu",
+                           rate_act=0.0, rate_out=0.0):
+    """Differentiable fused FFN with in-kernel PRNG dropout (round-4,
+    VERDICT r3 #2): forward = one Pallas kernel incl. both dropout masks;
+    backward = ONE Pallas kernel computing dx + every parameter grad with
+    the identical masks regenerated from ``seed``.  Real-TPU only (callers
+    gate with supports_dropout_shape); bf16 MXU operands."""
+    return fused_ffn_dropout(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
+                             eps=eps, activation=activation,
+                             rate_act=rate_act, rate_out=rate_out)
+
+
+def _ffn_dropout_diff_fwd(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
+                          eps, activation, rate_act, rate_out):
+    out = fused_ffn_dropout(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
+                            eps=eps, activation=activation,
+                            rate_act=rate_act, rate_out=rate_out)
+    return out, (x, seed, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ffn_dropout_diff_bwd(eps, activation, rate_act, rate_out, res, g):
+    x, seed, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    dx, d_gamma, d_beta, dw1, db1, dw2, db2 = fused_ffn_dropout_bwd_full(
+        x, g, seed, ln_scale, ln_bias, w1, b1, w2, eps=eps,
+        activation=activation, rate_act=rate_act, rate_out=rate_out,
+    )
+    return (dx, None, d_gamma, d_beta, dw1, db1, dw2,
+            db2.astype(b2.dtype))
+
+
+fused_ffn_dropout_diff.defvjp(_ffn_dropout_diff_fwd, _ffn_dropout_diff_bwd)
 
 
 @functools.partial(

@@ -483,6 +483,7 @@ def fused_resblock(x, emb, k1, b1, k2, b2, g1s, g1b, g2s, g2b,
             n_rows=n_rows, n_et=n_et, off_center=off_center, off_pad=off_pad,
             offs=offs, dot_dtype=dot_dtype),
         grid=(B,),
+        name="fused_resblock",
         in_specs=[
             pl.BlockSpec((1, Rpad, C), sample_row),
             pl.BlockSpec((1, 1, C), sample_row),
@@ -551,6 +552,7 @@ def _fused_resblock_bwd(x, emb, k1, k2, g1s, g1b, g2s, g2b, h2, g,
             n_rows=n_rows, n_et=n_et, off_center=off_center, off_pad=off_pad,
             offs=offs, dot_dtype=dot_dtype),
         grid=(B,),
+        name="_fused_resblock_bwd",
         in_specs=[
             pl.BlockSpec((1, Rpad, C), sample_row),
             pl.BlockSpec((1, 1, C), sample_row),

@@ -53,6 +53,15 @@ def _unpack(packed, mask, ref_leaves, treedef):
 
 
 class EmaTrainState(struct.PyTreeNode):
+    """Train state with EMA shadow params.
+
+    NOTE: with ``pack_small_thr > 0`` the ``ema_params`` field stores the
+    packed ``{'flat', 'large'}`` layout, not a params-shaped tree —
+    :meth:`ema_param_tree` is the only supported accessor for EMA weights
+    (it unpacks when needed and is the identity otherwise).  ``opt_state``
+    is likewise over the packed structure; checkpoints record the layout
+    (utils/checkpoint.py) and refuse a mismatched restore."""
+
     step: jax.Array
     params: Any
     opt_state: Any

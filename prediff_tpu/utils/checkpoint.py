@@ -7,11 +7,25 @@ Reference parity (SURVEY.md §5 checkpoint/resume): three layers —
      train_sevirlr_prediff.py:1202-1215) <- convert_torch_state_dict
   3. published pretrained weights (utils/download.py:5-25)
 """
+import json
 import os
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
+
+_LAYOUT_FIELDS = ("pack_small_thr", "flat_update")
+_LAYOUT_FILE = "state_layout.json"
+
+
+def _state_layout(state: Any) -> Optional[Dict[str, int]]:
+    """Static layout knobs that change the SAVED pytree structure (packed
+    opt_state/ema_params) — recorded so a mismatched restore fails clearly
+    instead of with an opaque pytree-structure error."""
+    layout = {
+        f: int(getattr(state, f)) for f in _LAYOUT_FIELDS if hasattr(state, f)
+    }
+    return layout or None
 
 
 def save_checkpoint(path: str, state: Any, step: Optional[int] = None,
@@ -23,6 +37,10 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None,
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
+    layout = _state_layout(state)
+    if layout is not None:
+        with open(os.path.join(path, _LAYOUT_FILE), "w") as f:
+            json.dump(layout, f)
     with ocp.CheckpointManager(
         path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mngr:
@@ -43,10 +61,31 @@ def delete_checkpoint(path: str, step: int):
 
 def restore_checkpoint(path: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore a pytree saved with :func:`save_checkpoint`; ``target`` supplies
-    structure/dtypes."""
+    structure/dtypes.  Raises a clear error when the checkpoint was saved
+    under a different packed-state layout (``pack_small_thr``/``flat_update``)
+    than ``target`` uses."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    layout_path = os.path.join(path, _LAYOUT_FILE)
+    want = _state_layout(target)
+    if want is not None and os.path.exists(layout_path):
+        with open(layout_path) as f:
+            saved = json.load(f)
+        mismatched = {
+            k: (saved[k], want[k])
+            for k in want if k in saved and saved[k] != want[k]
+        }
+        if mismatched:
+            raise ValueError(
+                "checkpoint state-layout mismatch: the checkpoint at "
+                f"{path} was saved with "
+                + ", ".join(f"{k}={s}" for k, (s, _) in mismatched.items())
+                + " but the restore target uses "
+                + ", ".join(f"{k}={w}" for k, (_, w) in mismatched.items())
+                + "; recreate the train state with the saved settings "
+                "(opt_state/ema_params are stored in the packed layout)"
+            )
     with ocp.CheckpointManager(path) as mngr:
         step = int(step if step is not None else mngr.latest_step())
         return mngr.restore(

@@ -80,3 +80,49 @@ def tree_grad_norms(grads) -> Dict[str, float]:
 
     walk(jax.device_get(grads))
     return flat
+
+
+def count_pallas_calls(fn, *args, **kwargs) -> Dict[str, int]:
+    """Trace ``fn`` and count pallas_call equations per kernel name,
+    recursing through scan/cond/custom-vjp sub-jaxprs.
+
+    Driver-visible kernel-gate guard (VERDICT r3 #7): gate regressions that
+    silently push kernels back to XLA (e.g. the round-3 f32-counted VMEM
+    gate, probe62 — a 10% bench loss found only by a manual xplane hunt)
+    change these counts, so bench.py asserts them and fails loudly."""
+    import jax
+
+    jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
+    counts: Dict[str, int] = {}
+    seen = set()
+
+    def walk(jx):
+        if id(jx) in seen:
+            return
+        seen.add(id(jx))
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "pallas_call":
+                name = str(eqn.params.get("name_and_src_info",
+                                          eqn.params.get("name", "pallas")))
+                name = name.split(" ")[0].split("@")[0]
+                counts[name] = counts.get(name, 0) + 1
+                continue  # don't recurse into the kernel body itself
+            for v in eqn.params.values():
+                for sub in _sub_jaxprs(v):
+                    walk(sub)
+
+    def _sub_jaxprs(v):
+        import jax.extend.core as jex_core
+
+        if isinstance(v, jex_core.ClosedJaxpr):
+            yield v.jaxpr
+        elif isinstance(v, jex_core.Jaxpr):
+            yield v
+        elif isinstance(v, (list, tuple)):
+            for item in v:
+                yield from _sub_jaxprs(item)
+        elif callable(getattr(v, "__wrapped__", None)):
+            return
+
+    walk(jaxpr.jaxpr)
+    return counts

@@ -180,7 +180,9 @@ def _rel_err(a, b):
 
 
 def run_component_parity(cfg, pt_dir, tol):
-    """Steps 1-2: load .pt into both frameworks, compare forwards."""
+    """Steps 1-2: load .pt into both frameworks, compare forwards.  Returns
+    (results, loaded) — ``loaded`` carries the weight-loaded modules for the
+    chain-parity stage so the .pt files are read once."""
     import torch
     import jax
     import jax.numpy as jnp
@@ -190,6 +192,7 @@ def run_component_parity(cfg, pt_dir, tol):
 
     ref_unet, ref_vae, ref_align = build_reference_models(cfg)
     results = {}
+    loaded = {"ref_unet": ref_unet, "ref_vae": ref_vae, "ref_align": ref_align}
     rng = jax.random.PRNGKey(0)
     d = cfg.model.diffusion
 
@@ -203,12 +206,14 @@ def run_component_parity(cfg, pt_dir, tol):
     zc = rs.randn(1, *d.latent_cond_shape).astype(np.float32)
     t = np.array([57], np.int64)
     variables = jax.jit(ours.init)(rng, jnp.asarray(x), jnp.asarray(t), jnp.asarray(zc))
-    params = convert_torch_state_dict(sd, variables["params"])
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_torch_state_dict(sd, variables["params"]))
     got = ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(zc))
     with torch.no_grad():
         want = ref_unet(torch.from_numpy(x), torch.from_numpy(t),
                         torch.from_numpy(zc)).numpy()
     results["unet"] = _rel_err(got, want)
+    loaded["unet"], loaded["unet_params"] = ours, params
 
     # --- VAE encode moments + decode ------------------------------------ #
     sd = torch.load(os.path.join(pt_dir, PT_NAMES["vae"]), map_location="cpu")
@@ -218,7 +223,8 @@ def run_component_parity(cfg, pt_dir, tol):
     frame = rs.randn(1, cfg.layout.img_height, cfg.layout.img_width,
                      cfg.model.vae.in_channels).astype(np.float32)
     variables = jax.jit(vae.init)(rng, jnp.asarray(frame))
-    params = convert_torch_state_dict(sd, variables["params"])
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_torch_state_dict(sd, variables["params"]))
     post = vae.apply({"params": params}, jnp.asarray(frame),
                      method=AutoencoderKL.encode)
     with torch.no_grad():
@@ -242,11 +248,13 @@ def run_component_parity(cfg, pt_dir, tol):
     a = cfg.model.align.model_args
     zt = rs.randn(1, *a.input_shape).astype(np.float32)
     variables = jax.jit(align.init)(rng, jnp.asarray(zt), jnp.asarray(t))
-    params = convert_torch_state_dict(sd, variables["params"])
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_torch_state_dict(sd, variables["params"]))
     got = align.apply({"params": params}, jnp.asarray(zt), jnp.asarray(t))
     with torch.no_grad():
         want = ref_align(torch.from_numpy(zt), torch.from_numpy(t)).numpy()
     results["alignment"] = _rel_err(got, want)
+    loaded["align"], loaded["align_params"] = align, params
 
     print("component max-rel-err vs torch reference (same .pt):")
     ok = True
@@ -256,11 +264,118 @@ def run_component_parity(cfg, pt_dir, tol):
         print(f"  {k:12s} {v:.3e}  [{status}]  (tol {tol})")
     if not ok:
         raise SystemExit("component parity FAILED")
-    return results
+    return results, loaded
 
 
-def run_smoke(cfg_path):
-    """Build tiny reference modules, save random .pt files, run steps 1-2."""
+def run_chain_parity(cfg, loaded, tol, chain_T=4, seed=0):
+    """Guided DDPM chain parity: run a short reverse chain with IDENTICAL
+    injected noise through both frameworks and compare the final latent.
+
+    The torch side is an explicit p_sample loop stated directly from the
+    reference formulas (latent_diffusion.py:568-631 eps-parameterization +
+    posterior step; knowledge_alignment/sevir.py:55-104 +
+    alignment_pl.py:423-446 guidance mean shift), driving the weight-loaded
+    reference UNet + alignment net.  The JAX side drives our schedule/core/
+    KnowledgeAlignment building blocks.  This exercises every piece of the
+    sampling math end-to-end beyond per-component forwards — only the file
+    download remains untested offline (VERDICT r3 next-round #4)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from prediff.diffusion.utils import make_beta_schedule as ref_make_betas
+    from prediff_tpu.diffusion import core
+    from prediff_tpu.diffusion.knowledge_alignment import KnowledgeAlignment
+    from prediff_tpu.diffusion.schedule import make_gaussian_schedule
+
+    d = cfg.model.diffusion
+    guide_scale = float(cfg.model.align.guide_scale)
+    rs = np.random.RandomState(seed)
+    B = 1
+    z_T = rs.randn(B, *d.latent_shape).astype(np.float32)
+    zc = rs.randn(B, *d.latent_cond_shape).astype(np.float32)
+    step_noise = rs.randn(chain_T, B, *d.latent_shape).astype(np.float32)
+    avg_x_gt = np.full((B, 1), 0.37, np.float32)
+
+    # ---- torch reference chain ----------------------------------------- #
+    betas = np.asarray(
+        ref_make_betas(d.beta_schedule, chain_T, linear_start=d.linear_start,
+                       linear_end=d.linear_end), np.float64,
+    )
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    sqrt_recip = np.sqrt(1.0 / ac).astype(np.float32)
+    sqrt_recipm1 = np.sqrt(1.0 / ac - 1.0).astype(np.float32)
+    coef1 = (betas * np.sqrt(ac_prev) / (1.0 - ac)).astype(np.float32)
+    coef2 = ((1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac)).astype(np.float32)
+    post_logvar = np.log(
+        np.maximum(betas * (1.0 - ac_prev) / (1.0 - ac), 1e-20)
+    ).astype(np.float32)
+
+    ref_unet, ref_align = loaded["ref_unet"], loaded["ref_align"]
+    zt = torch.from_numpy(z_T.copy())
+    zc_t = torch.from_numpy(zc)
+    gt_t = torch.from_numpy(avg_x_gt)
+    for i in reversed(range(chain_T)):
+        t = torch.full((B,), i, dtype=torch.int64)
+        with torch.no_grad():
+            eps = ref_unet(zt, t, zc_t)
+            x0 = sqrt_recip[i] * zt - sqrt_recipm1[i] * eps
+            mean = coef1[i] * x0 + coef2[i] * zt
+        with torch.enable_grad():
+            z_in = zt.detach().requires_grad_(True)
+            pred = ref_align(z_in, t).mean(dim=1)  # (B,T,1) -> (B,1)
+            energy = torch.linalg.vector_norm(pred - gt_t, ord=2)
+            grad = torch.autograd.grad(energy, z_in)[0]
+        mean = mean - float(np.exp(0.5 * post_logvar[i])) * guide_scale * grad
+        if i > 0:
+            zt = mean + float(np.exp(0.5 * post_logvar[i])) * torch.from_numpy(
+                step_noise[i]
+            )
+        else:
+            zt = mean
+    want = zt.detach().numpy()
+
+    # ---- JAX chain over our building blocks ------------------------------ #
+    sched = make_gaussian_schedule(
+        beta_schedule=d.beta_schedule, timesteps=chain_T,
+        linear_start=d.linear_start, linear_end=d.linear_end,
+    )
+    unet, unet_params = loaded["unet"], loaded["unet_params"]
+    align, align_params = loaded["align"], loaded["align_params"]
+    ka = KnowledgeAlignment(
+        params=align_params, guide_scale=guide_scale,
+        apply_fn=lambda v, zt_, t_, zc=None, y=None: align.apply(v, zt_, t_),
+    )
+
+    @jax.jit
+    def jax_step(z, t_arr, noise):
+        eps = unet.apply({"params": unet_params}, z, t_arr, jnp.asarray(zc))
+        mean, _, logvar, _ = core.p_mean_variance(sched, eps, z, t_arr)
+        shift = ka.get_mean_shift(z, t_arr, jnp.asarray(avg_x_gt))
+        mean = mean - jnp.exp(0.5 * logvar) * shift
+        keep_noise = (t_arr[0] > 0).astype(z.dtype)
+        return mean + keep_noise * jnp.exp(0.5 * logvar) * noise
+
+    z = jnp.asarray(z_T)
+    for i in reversed(range(chain_T)):
+        z = jax_step(z, jnp.full((B,), i, jnp.int32), jnp.asarray(step_noise[i]))
+    got = np.asarray(z)
+
+    err = _rel_err(got, want)
+    status = "OK" if err < tol else "FAIL"
+    print(f"guided {chain_T}-step chain max-rel-err {err:.3e}  [{status}]  "
+          f"(tol {tol})")
+    if err >= tol:
+        raise SystemExit("chain parity FAILED")
+    return err
+
+
+def run_smoke(cfg_path, chain_tol=1e-3):
+    """Build reference-architecture modules at the given config scale with
+    random init, save them as .pt, run component parity AND the guided-chain
+    parity.  ``cfg_path=None`` = the flagship v1 defaults (full 7x16x16x64
+    shapes, base_units 256 — VERDICT r3 next-round #4)."""
     import tempfile
     import torch
     from prediff_tpu.config import load_config, prediff_default_config
@@ -280,8 +395,27 @@ def run_smoke(cfg_path):
     torch.save(ref_vae.state_dict(), os.path.join(tmp, PT_NAMES["vae"]))
     torch.save(ref_align.state_dict(), os.path.join(tmp, PT_NAMES["align"]))
     print(f"smoke .pt files written to {tmp}")
-    run_component_parity(cfg, tmp, tol=1e-3)
+    _, loaded = run_component_parity(cfg, tmp, tol=1e-3)
+    run_chain_parity(cfg, loaded, tol=chain_tol)
     print("SMOKE PASS: harness machinery verified with random weights")
+
+
+def compare_metrics(ours: dict, theirs: dict, tol: float,
+                    keys=("csi", "crps")) -> list:
+    """Assert each shared CSI/CRPS metric agrees within ``tol`` relative;
+    returns the list of failing keys (unit-tested in
+    tests/test_cli_smoke.py)."""
+    bad = []
+    for k, v_ref in theirs.items():
+        if k not in ours or not any(s in k for s in keys):
+            continue
+        rel = abs(ours[k] - v_ref) / max(abs(v_ref), 1e-9)
+        mark = "OK" if rel <= tol else "FAIL"
+        print(f"  {k}: ours {ours[k]:.4f} ref {v_ref:.4f} "
+              f"rel {rel:.4f} [{mark}]")
+        if rel > tol:
+            bad.append(k)
+    return bad
 
 
 def main():
@@ -299,21 +433,30 @@ def main():
                    help="JSON of the torch reference's test metrics")
     p.add_argument("--tol", type=float, default=0.01,
                    help="relative tolerance for CSI/CRPS parity (1%%)")
-    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny-config smoke with random weights")
+    p.add_argument("--smoke-v1", action="store_true",
+                   help="smoke at the FULL v1 shapes (7x16x16x64, base 256; "
+                        "slow on CPU — several minutes)")
     args = p.parse_args()
 
     from prediff_tpu.utils.platform import respect_jax_platforms_env
     respect_jax_platforms_env()
 
-    if args.smoke:
-        run_smoke(args.cfg or os.path.join(REPO_ROOT, "configs", "tiny_smoke.yaml"))
+    if args.smoke or args.smoke_v1:
+        if args.smoke_v1:
+            run_smoke(args.cfg)  # None = flagship v1 defaults
+        else:
+            run_smoke(args.cfg
+                      or os.path.join(REPO_ROOT, "configs", "tiny_smoke.yaml"))
         return
 
     assert args.pt_dir, "--pt-dir required (or --smoke)"
     from prediff_tpu.config import load_config, prediff_default_config
 
     cfg = load_config(prediff_default_config, args.cfg)
-    run_component_parity(cfg, args.pt_dir, args.component_tol)
+    _, loaded = run_component_parity(cfg, args.pt_dir, args.component_tol)
+    run_chain_parity(cfg, loaded, tol=args.component_tol)
 
     if args.run_eval:
         import subprocess
@@ -338,16 +481,7 @@ def main():
         if args.expected_metrics:
             with open(args.expected_metrics) as f:
                 theirs = json.load(f)
-            bad = []
-            for k, v_ref in theirs.items():
-                if k not in ours or not any(s in k for s in ("csi", "crps")):
-                    continue
-                rel = abs(ours[k] - v_ref) / max(abs(v_ref), 1e-9)
-                mark = "OK" if rel <= args.tol else "FAIL"
-                print(f"  {k}: ours {ours[k]:.4f} ref {v_ref:.4f} "
-                      f"rel {rel:.4f} [{mark}]")
-                if rel > args.tol:
-                    bad.append(k)
+            bad = compare_metrics(ours, theirs, args.tol)
             if bad:
                 raise SystemExit(f"metric parity FAILED: {bad}")
             print(f"METRIC PARITY OK (tol {args.tol})")

@@ -95,6 +95,8 @@ def main():
                           betas=(0.5, 0.9), gradient_clip_val=None,
                           lr_scheduler_mode="constant", warmup_percentage=0.0),
         mesh=mesh,
+        flat_update=cfg.optim.get("flat_update", False),
+        pack_small_thr=cfg.optim.get("pack_small_thr", 0),
     )
     rng = jax.random.PRNGKey(cfg.optim.seed)
     H = cfg.layout.img_height

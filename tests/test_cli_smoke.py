@@ -137,3 +137,31 @@ def test_precompute_latents_and_train_smoke(tmp_path):
         "--cfg", TINY, "--sevir-dir", sevir_dir, "--latents", out,
         "--max-steps", "2",
     )
+
+
+def test_expected_metrics_comparison_path(capsys):
+    """The --expected-metrics JSON comparison logic of
+    scripts/parity_vs_reference.py (VERDICT r3 next-round #4: every harness
+    step testable offline must have a test)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from parity_vs_reference import compare_metrics
+    finally:
+        sys.path.pop(0)
+
+    ours = {
+        "test_csi_avg_epoch": 0.400,
+        "test_csi_16_epoch": 0.700,
+        "test_crps_epoch": 0.0300,
+        "test_mse_epoch": 99.0,  # non-CSI/CRPS keys are ignored
+    }
+    theirs_ok = {
+        "test_csi_avg_epoch": 0.401,
+        "test_csi_16_epoch": 0.697,
+        "test_crps_epoch": 0.0299,
+        "test_mse_epoch": 1.0,
+        "test_pod_epoch": 0.5,  # not present in ours -> skipped
+    }
+    assert compare_metrics(ours, theirs_ok, tol=0.01) == []
+    theirs_bad = dict(theirs_ok, test_csi_16_epoch=0.78)
+    assert compare_metrics(ours, theirs_bad, tol=0.01) == ["test_csi_16_epoch"]

@@ -255,3 +255,36 @@ def test_full_bwd_gate_v1_stages():
     """Both v1 stages fit the raised-limit full-backward budget."""
     assert pallas_ffn.supports_full_bwd_shape(3328, 256, 1024)
     assert pallas_ffn.supports_full_bwd_shape(832, 512, 2048)
+
+
+def test_kernel_dropout_gates_off_cpu():
+    """In-kernel PRNG dropout is real-TPU only (no interpret lowering for
+    pltpu.prng_*): on CPU supports_dropout_shape is False and the module
+    falls back to the flax Dropout XLA path bit-exactly."""
+    from prediff_tpu.models.layers import PositionwiseFFN
+    from prediff_tpu.ops import pallas_ffn
+
+    assert not pallas_ffn.supports_dropout_shape(1024, 256, 1024)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 512, 256)
+                    .astype(np.float32))
+    kw = dict(units=256, hidden_size=1024, activation="gelu", pre_norm=True,
+              dropout=0.1, activation_dropout=0.1)
+    base = PositionwiseFFN(**kw)
+    fused = PositionwiseFFN(use_pallas=True, use_pallas_dropout=True, **kw)
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    out_b = base.apply({"params": params}, x, deterministic=False, rngs=rngs)
+    out_f = fused.apply({"params": params}, x, deterministic=False, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_f))
+
+
+def test_seed_words_folding():
+    from prediff_tpu.ops.pallas_ffn import _seed_words
+
+    two = _seed_words(jnp.asarray([1, 2], jnp.uint32))
+    assert two.shape == (2,) and two.dtype == jnp.int32
+    four = _seed_words(jnp.asarray([1, 2, 3, 4], jnp.uint32))
+    assert four.shape == (2,)
+    # distinct rbg key words must not collapse to the same fold
+    four_b = _seed_words(jnp.asarray([1, 9, 3, 4], jnp.uint32))
+    assert (np.asarray(four) != np.asarray(four_b)).any()

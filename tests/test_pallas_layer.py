@@ -239,6 +239,89 @@ def test_v4_diff_grads_match_xla_autodiff(B, nC, vol, C, heads):
                                    rtol=1e-3, atol=1e-3, err_msg=n)
 
 
+@pytest.mark.parametrize("B,nC,vol,C,heads", [
+    (1, 48, 13, 128, 4),   # multi-cell grid: accumulation across 48/G cells
+    (2, 8, 16, 256, 4),    # multi-batch: accumulation across the B axis too
+])
+def test_v4_full_bwd_grads_match_xla_autodiff(B, nC, vol, C, heads):
+    """ONE-kernel all-grads backward (full_bwd=True, round-4 VERDICT #1) vs
+    jax.grad of the jnp reference over ALL inputs, incl. multi-tile f32
+    accumulation across the sequential grid."""
+    from prediff_tpu.ops.pallas_attention import (
+        fused_cuboid_attention_layer_v4_diff, cuboid_layer_attention_reference,
+        pick_cuboid_group, supports_v4_full_bwd,
+    )
+
+    G = pick_cuboid_group(nC, vol, C=C, num_heads=heads)
+    assert G is not None and supports_v4_full_bwd(G * vol, vol, C, heads)
+    assert nC // G > 1 or B > 1, "test must exercise accumulation"
+    args = _rand_layer_inputs(B, nC, vol, C, heads, seed=31)
+    scale = (C // heads) ** -0.5
+    g_out = jnp.asarray(np.random.RandomState(32).randn(B, nC, vol, C)
+                        .astype(np.float32))
+
+    def loss_fused(*a):
+        out = fused_cuboid_attention_layer_v4_diff(
+            *a, heads, scale, 1e-5, "float32", True, True
+        )
+        return jnp.sum(out * g_out)
+
+    def loss_ref(*a):
+        return jnp.sum(
+            cuboid_layer_attention_reference(*a, heads, scale) * g_out
+        )
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    names = ("dx", "dgamma", "dbeta", "dwqkv", "dbias", "dwproj", "dbproj")
+    for n, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=n)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_axial_full_bwd_grads_match_xla_autodiff(axis):
+    """Natural-layout axial ONE-kernel all-grads backward vs reorder +
+    reference autodiff (round-4 VERDICT #1)."""
+    from prediff_tpu.ops.pallas_attention import (
+        fused_axial_attention_5d_diff, cuboid_layer_attention_reference,
+        _AXIAL_CUBOID_SIZE,
+    )
+    from prediff_tpu.ops.cuboid import cuboid_reorder, cuboid_reorder_reverse
+
+    B, T, H, W, C, heads = 2, 13, 8, 8, 128, 4
+    rng = np.random.RandomState(40 + axis)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.5)
+    vol = (T, H, W)[axis]
+    _, gam, bet, wq, _, wp, bp = _rand_layer_inputs(1, 1, vol, C, heads, seed=41)
+    bias = jnp.asarray(rng.randn(heads, vol, vol).astype(np.float32) * 0.3)
+    scale = (C // heads) ** -0.5
+    g_out = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32))
+    cs = _AXIAL_CUBOID_SIZE[axis](T, H, W)
+
+    def loss_fused(x, gam, bet, wq, bias, wp, bp):
+        out = fused_axial_attention_5d_diff(
+            x, axis, gam, bet, wq, bias, wp, bp, heads, scale, 1e-5,
+            "float32", True, True,
+        )
+        return jnp.sum(out * g_out)
+
+    def loss_ref(x, gam, bet, wq, bias, wp, bp):
+        xr = cuboid_reorder(x, cuboid_size=cs, strategy=("l", "l", "l"))
+        o = cuboid_layer_attention_reference(xr, gam, bet, wq, bias, wp, bp,
+                                             heads, scale)
+        o = cuboid_reorder_reverse(o, cuboid_size=cs, strategy=("l", "l", "l"),
+                                   orig_data_shape=(T, H, W))
+        return jnp.sum(o * g_out)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(x, gam, bet, wq, bias, wp, bp)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(x, gam, bet, wq, bias, wp, bp)
+    for n, a, b in zip(("dx", "dgamma", "dbeta", "dwqkv", "dbias", "dwproj",
+                        "dbproj"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=n)
+
+
 @pytest.mark.parametrize("axis", [0, 1, 2])
 def test_axial_diff_grads_match_xla_autodiff(axis):
     """Natural-layout axial custom_vjp vs reorder + reference autodiff."""
@@ -309,9 +392,14 @@ def test_layer_train_mode_grads_match_einsum_path():
                                rtol=3e-2, atol=3e-2)
     flat_f = jax.tree_util.tree_leaves_with_path(gp_f)
     flat_b = dict(jax.tree_util.tree_leaves_with_path(gp_b))
+    # atol 8e-2: since round-4 the train path takes the ONE-kernel all-grads
+    # backward, whose param-grad contractions run on bf16 MXU operands (the
+    # base path accumulates them in f32) — grads here are O(10), so this is
+    # still a ~1e-2 relative bound; exact-math equivalence is pinned
+    # separately by test_v4_full_bwd_grads_match_xla_autodiff (f32 kernel).
     for path, leaf in flat_f:
         np.testing.assert_allclose(
-            np.asarray(leaf), np.asarray(flat_b[path]), rtol=3e-2, atol=3e-2,
+            np.asarray(leaf), np.asarray(flat_b[path]), rtol=3e-2, atol=8e-2,
             err_msg=str(path),
         )
 

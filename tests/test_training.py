@@ -215,6 +215,35 @@ def test_pack_small_thr_matches_per_leaf(tiny_setup):
     assert np.isfinite(float(m["val/loss"]))
 
 
+def test_checkpoint_layout_mismatch_clear_error(tiny_setup, tmp_path):
+    """A checkpoint saved under pack_small_thr must refuse to restore into a
+    per-leaf state (and vice versa) with a clear ValueError naming the knob,
+    not an opaque pytree-structure error (ADVICE r3)."""
+    import pytest
+
+    from prediff_tpu.training.diffusion_trainer import DiffusionTrainer
+    from prediff_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    def make_state(thr):
+        tr = DiffusionTrainer(
+            tiny_setup["ld"], tiny_setup["vae_params"],
+            optim_config=dict(lr=1e-3, total_num_steps=10),
+            pack_small_thr=thr,
+        )
+        return tr.create_state(tiny_setup["unet_params"])
+
+    packed = make_state(4096)
+    save_checkpoint(str(tmp_path / "ck"), packed)
+    with pytest.raises(ValueError, match="pack_small_thr"):
+        restore_checkpoint(str(tmp_path / "ck"), make_state(0))
+    # matching layout restores fine
+    restored = restore_checkpoint(str(tmp_path / "ck"), make_state(4096))
+    np.testing.assert_allclose(
+        np.asarray(restored.ema_params["flat"]),
+        np.asarray(packed.ema_params["flat"]),
+    )
+
+
 def test_train_step_rbg_prng(tiny_setup):
     """prng_impl='rbg' (TPU hardware RNG on device; functional on CPU too)
     trains to a finite loss and produces different — but statistically
