@@ -6,9 +6,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): >= 50 denoise steps/sec/chip.
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Structural fingerprint of the compiled v1 sampler: pallas_call count per
+# kernel name in the traced jaxpr (scan bodies count once, so these are
+# per-UNIQUE-site).  A silent kernel-gate regression — e.g. round-3's
+# f32-counted VMEM gate pushing the stage-1 FFNs to XLA, a 10% bench loss
+# found only by a manual xplane hunt (probe62) — changes these counts, and
+# the bench fails loudly instead (VERDICT r3 #7).  Re-pin deliberately when
+# gates change; set BENCH_SKIP_GATE_GUARD=1 to bypass for experiments.
+EXPECTED_PALLAS_COUNTS = {
+    "fused_groupnorm_silu": 8,
+    "fused_axial_attention_5d": 6,
+    "fused_ffn": 2,
+}
 
 
 def main():
@@ -39,6 +54,23 @@ def main():
         # doesn't charge the benchmark for shipping the full video through
         # the host tunnel (~30-40 ms at relay bandwidth).
         return jnp.sum(out)
+
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("BENCH_SKIP_GATE_GUARD")):
+        from prediff_tpu.utils.profiling import count_pallas_calls
+
+        got = count_pallas_calls(run, 0)
+        if got != EXPECTED_PALLAS_COUNTS:
+            print(
+                "KERNEL GATE GUARD FAILED: pallas_call fingerprint of the "
+                f"v1 sampler changed.\n  expected: {EXPECTED_PALLAS_COUNTS}"
+                f"\n  got:      {got}\n"
+                "A gate silently (de)activated a fused kernel (cf. probe62, "
+                "a 10% regression).  If the change is deliberate, re-pin "
+                "EXPECTED_PALLAS_COUNTS in bench.py.",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
 
     out = run(0)  # compile + warmup
     _ = float(np.asarray(out))

@@ -94,6 +94,7 @@ class PreDiffPredictor:
         avg_x_gt: Optional[jnp.ndarray] = None,
         ddim_steps: Optional[int] = None,
         timesteps: Optional[int] = None,
+        guidance_every_k: int = 1,
     ) -> jnp.ndarray:
         """One forecast per context: (B, T_in, H, W, C) -> (B, T_out, H, W, C).
 
@@ -108,7 +109,8 @@ class PreDiffPredictor:
         if use_alignment:
             assert self.with_alignment and avg_x_gt is not None
             kw.update(use_alignment=True,
-                      alignment_kwargs={"avg_x_gt": jnp.asarray(avg_x_gt)})
+                      alignment_kwargs={"avg_x_gt": jnp.asarray(avg_x_gt)},
+                      guidance_every_k=guidance_every_k)
         return self.ld.sample(self.params["unet"], self.params["vae"],
                               self._next_rng(rng), y, **kw)
 
@@ -128,7 +130,8 @@ class PreDiffPredictor:
             kw["timesteps"] = kwargs["timesteps"]
         if kwargs.get("use_alignment"):
             kw.update(use_alignment=True,
-                      alignment_kwargs={"avg_x_gt": jnp.asarray(kwargs["avg_x_gt"])})
+                      alignment_kwargs={"avg_x_gt": jnp.asarray(kwargs["avg_x_gt"])},
+                      guidance_every_k=kwargs.get("guidance_every_k", 1))
         return self.ld.sample_ensemble(
             self.params["unet"], self.params["vae"], self._next_rng(rng), y,
             num_samples=num_samples, **kw,

@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument("--num-contexts", default=1, type=int)
     p.add_argument("--num-samples", default=1, type=int)
     p.add_argument("--use-alignment", action="store_true")
+    p.add_argument("--guidance-every-k", default=1, type=int,
+                   help="apply the alignment mean shift only every k-th "
+                        "step, scaled by k (opt-in speed/semantics trade)")
     p.add_argument("--ddim-steps", default=None, type=int,
                    help="use the DDIM fast sampler with this many steps")
     p.add_argument("--timesteps", default=None, type=int)
@@ -102,6 +105,7 @@ def main():
                 kwargs.update(
                     use_alignment=True,
                     alignment_kwargs=get_alignment_kwargs_avg_x(x),
+                    guidance_every_k=args.guidance_every_k,
                 )
             pred = ld.sample(
                 params["unet"], params["vae"],

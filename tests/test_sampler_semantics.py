@@ -120,3 +120,92 @@ def test_eps_zero_sampler_contracts_to_zero_mean():
     arr = np.asarray(out)
     assert np.isfinite(arr).all()
     assert abs(arr.mean()) < 0.5
+
+
+def test_guidance_every_k_semantics():
+    """guidance_every_k (round-4, VERDICT r3 #6 opt-in): with a linear
+    energy (constant gradient c), each GUIDED step's mean shifts by
+    k * exp(.5 logv) * guide_scale * c and the skipped steps match the
+    unguided step exactly; k=1 is the reference behavior bit-for-bit."""
+    c, guide = 0.07, 3.0
+
+    class LinearAlign(KnowledgeAlignment):
+        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
+                             axis_name=None):
+            return c * jnp.sum(zt)
+
+    align = LinearAlign(params={}, guide_scale=guide,
+                        apply_fn=lambda v, zt, t, zc=None, y=None: zt)
+    ld = make_stub_ld(alignment=align)
+    sch = ld.schedule
+    z = jnp.asarray(np.random.RandomState(1).randn(1, *LAT).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    gt = jnp.zeros((1, 1))
+    k = 3
+    for t in (0, 1, 2, 3, 4):
+        t_b = jnp.array([t])
+        base = ld._p_sample_step(None, {}, z, t_b, None, None, gt, rng,
+                                 use_alignment=False)
+        k1 = ld._p_sample_step(None, {}, z, t_b, None, None, gt, rng,
+                               use_alignment=True, guidance_every_k=1)
+        kk = ld._p_sample_step(None, {}, z, t_b, None, None, gt, rng,
+                               use_alignment=True, guidance_every_k=k)
+        _, _, logv = core.q_posterior(
+            sch, core.predict_start_from_noise(sch, z, t_b, jnp.zeros_like(z)),
+            z, t_b)
+        shift1 = jnp.exp(0.5 * logv) * guide * c
+        np.testing.assert_allclose(np.asarray(base - k1), np.asarray(
+            shift1 * jnp.ones_like(z)), rtol=1e-4, atol=1e-6)
+        if t % k == 0:  # guided step: k-scaled shift
+            np.testing.assert_allclose(np.asarray(base - kk), np.asarray(
+                k * shift1 * jnp.ones_like(z)), rtol=1e-4, atol=1e-6)
+        else:  # skipped step: exactly the unguided update
+            np.testing.assert_array_equal(np.asarray(kk), np.asarray(base))
+
+    # end-to-end: k=1 == the plain guided chain; guide_scale=0 makes k moot
+    y = jnp.zeros((1,) + LAT)
+    g_k1 = ld.sample(None, None, rng, y, use_alignment=True,
+                     alignment_kwargs={"avg_x_gt": gt}, return_decoded=False,
+                     guidance_every_k=1)
+    g_ref = ld.sample(None, None, rng, y, use_alignment=True,
+                      alignment_kwargs={"avg_x_gt": gt}, return_decoded=False)
+    np.testing.assert_array_equal(np.asarray(g_k1), np.asarray(g_ref))
+    g_k2 = ld.sample(None, None, rng, y, use_alignment=True,
+                     alignment_kwargs={"avg_x_gt": gt}, return_decoded=False,
+                     guidance_every_k=2)
+    assert (np.asarray(g_k2) != np.asarray(g_k1)).any()
+    zero = LinearAlign(params={}, guide_scale=0.0,
+                       apply_fn=lambda v, zt, t, zc=None, y=None: zt)
+    ld0 = make_stub_ld(alignment=zero)
+    u = ld0.sample(None, None, rng, y, return_decoded=False)
+    for kk_ in (1, 2):
+        gk = ld0.sample(None, None, rng, y, use_alignment=True,
+                        alignment_kwargs={"avg_x_gt": gt},
+                        return_decoded=False, guidance_every_k=kk_)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(u),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_guidance_every_k_ddim():
+    """DDIM path: idx % k gating, k=1 == reference, scale=0 == unguided."""
+    c, guide = 0.05, 2.0
+
+    class LinearAlign(KnowledgeAlignment):
+        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
+                             axis_name=None):
+            return c * jnp.sum(zt)
+
+    align = LinearAlign(params={}, guide_scale=guide,
+                        apply_fn=lambda v, zt, t, zc=None, y=None: zt)
+    ld = make_stub_ld(timesteps=8, alignment=align)
+    y = jnp.zeros((1,) + LAT)
+    rng = jax.random.PRNGKey(3)
+    gt = jnp.zeros((1, 1))
+    kw = dict(use_alignment=True, alignment_kwargs={"avg_x_gt": gt},
+              return_decoded=False, sampler="ddim", ddim_steps=4)
+    g1 = ld.sample(None, None, rng, y, **kw)
+    g1b = ld.sample(None, None, rng, y, guidance_every_k=1, **kw)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g1b))
+    g2 = ld.sample(None, None, rng, y, guidance_every_k=2, **kw)
+    assert np.isfinite(np.asarray(g2)).all()
+    assert (np.asarray(g2) != np.asarray(g1)).any()
