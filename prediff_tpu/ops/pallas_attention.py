@@ -45,6 +45,23 @@ def _fold_seed(seed):
     return _seed_words(seed)
 
 
+def seed_prng(seed_ref, idx):
+    from .pallas_ffn import seed_prng as _sp
+
+    _sp(seed_ref, idx)
+
+
+def _linear_cell_index(grid_rank: int):
+    """Row-major linearization of the grid cell — the 2-word ``seed_prng``
+    mixer takes ONE index (Mosaic rejects >2 prng_seed values, probe68).
+    Forward and backward kernels share grid shape, so the same formula
+    reproduces the same per-cell stream."""
+    idx = pl.program_id(0)
+    for d in range(1, grid_rank):
+        idx = idx * pl.num_programs(d) + pl.program_id(d)
+    return idx
+
+
 def _attn_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     q = q_ref[0, 0, 0].astype(jnp.float32) * scale   # (vol, hc)
     k = k_ref[0, 0, 0].astype(jnp.float32)
@@ -378,8 +395,7 @@ def _fused_layer_kernel_v4(
     hc = C // num_heads
     if seed_ref is not None:  # in-kernel PRNG dropout (round-4): unique
         # stream per grid cell; draw order = head 0..H-1 then proj
-        pltpu.prng_seed(seed_ref[0], seed_ref[1],
-                        *[pl.program_id(d) for d in range(grid_rank)])
+        seed_prng(seed_ref, _linear_cell_index(grid_rank))
     first_cell = pl.program_id(1) == 0
     for d in range(2, grid_rank):
         first_cell = jnp.logical_and(first_cell, pl.program_id(d) == 0)
@@ -1011,8 +1027,7 @@ def _fused_layer_bwd_full_kernel_v4(
     # masks drawn UPFRONT in the forward's order (head 0..H-1, then proj)
     m_heads, m_proj = None, None
     if seed_ref is not None:
-        pltpu.prng_seed(seed_ref[0], seed_ref[1],
-                        *[pl.program_id(d) for d in range(grid_rank)])
+        seed_prng(seed_ref, _linear_cell_index(grid_rank))
         if rate_attn > 0.0:
             m_heads = [_keep_mask((R, R), rate_attn)
                        for _ in range(num_heads)]

@@ -516,13 +516,28 @@ def _keep_mask(shape, rate: float):
     return (bits >= thr).astype(jnp.float32)
 
 
+def seed_prng(seed_ref, idx):
+    """Seed the per-core PRNG from the two seed words + a grid-cell index.
+
+    Mosaic on current libtpu rejects ``prng_seed`` with >2 values
+    ("Setting seed with more than 2 values is not supported" — found by
+    probe68 on the real chip; the 3-arg form traces fine and even compiles
+    in some toolchains), so the cell index is MIXED into the words instead:
+    odd-constant multiply + xor (splitmix-style) keeps distinct cells on
+    distinct streams.  int32 arithmetic wraps, which is exactly what we
+    want.  Forward and backward must pass the SAME (seed_ref, idx)."""
+    idx = idx.astype(jnp.int32) if hasattr(idx, "astype") else jnp.int32(idx)
+    h = (idx + jnp.int32(1)) * jnp.int32(-1640531527)  # 0x9E3779B9
+    pltpu.prng_seed(seed_ref[0] ^ h, seed_ref[1] + (h << 1 | jnp.int32(1)))
+
+
 def _ffn_dropout_fwd_kernel(
     seed_ref,      # (2,) int32 SMEM
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref,
     *, eps, activation, mxu_dtype, rate_act, rate_out,
 ):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    seed_prng(seed_ref, pl.program_id(0))
     x = x_ref[...].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -556,7 +571,7 @@ def _ffn_dropout_bwd_full_kernel(
     output) — the PRNG stream advances per draw, so upfront draws of the
     same shapes yield bit-identical masks."""
     i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+    seed_prng(seed_ref, i)
     hidden = w1_ref.shape[1]
     tm, C = x_ref.shape
     m1 = _keep_mask((tm, hidden), rate_act) if rate_act > 0.0 else None
