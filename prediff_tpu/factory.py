@@ -58,7 +58,7 @@ def build_unet(cfg: ConfigDict) -> CuboidTransformerUNet:
         use_relative_pos=m.use_relative_pos,
         use_pallas_attention=m.get("use_pallas_attention", "auto"),
         use_pallas_ffn=m.get("use_pallas_ffn", "auto"),
-        use_pallas_dropout=m.get("use_pallas_dropout", False),
+        use_pallas_dropout=m.get("use_pallas_dropout", "auto"),
         use_pallas_gn=m.get("use_pallas_gn", "auto"),
         use_pallas_conv=m.get("use_pallas_conv", False),
         use_pallas_resblock=m.get("use_pallas_resblock", "auto"),
@@ -121,7 +121,7 @@ def build_alignment_model(cfg: ConfigDict) -> NoisyCuboidTransformerEncoder:
         # (jax.grad through this network) works with them on — default 'auto'
         use_pallas_attention=a.get("use_pallas_attention", "auto"),
         use_pallas_ffn=a.get("use_pallas_ffn", "auto"),
-        use_pallas_dropout=a.get("use_pallas_dropout", False),
+        use_pallas_dropout=a.get("use_pallas_dropout", "auto"),
         use_pallas_gn=a.get("use_pallas_gn", "auto"),
         use_pallas_conv=a.get("use_pallas_conv", False),
         use_pallas_resblock=a.get("use_pallas_resblock", "auto"),

@@ -97,7 +97,7 @@ class NoisyCuboidTransformerEncoder(nn.Module):
     use_relative_pos: bool = True
     use_pallas_attention: Union[bool, str] = False
     use_pallas_ffn: Union[bool, str] = False
-    use_pallas_dropout: Union[bool, str] = False
+    use_pallas_dropout: Union[bool, str] = "auto"
     use_pallas_gn: Union[bool, str] = False
     use_pallas_conv: Union[bool, str] = False
     use_pallas_resblock: Union[bool, str] = False

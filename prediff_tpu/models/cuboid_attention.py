@@ -81,7 +81,7 @@ class CuboidSelfAttentionLayer(nn.Module):
     # in-kernel PRNG dropout (round-4): the whole-layer kernel serves
     # ACTIVE attn/proj dropout training (v1 recipe).  Real TPU only;
     # default False pending the on-TPU bench A/B.
-    use_pallas_dropout: Union[bool, str] = False
+    use_pallas_dropout: Union[bool, str] = "auto"
     attn_linear_init_mode: str = "0"
     ffn_linear_init_mode: str = "2"  # the final-proj init mode (ref naming)
 
@@ -520,7 +520,7 @@ class StackCuboidSelfAttentionBlock(nn.Module):
     use_relative_pos: bool = True
     use_pallas_attention: Union[bool, str] = False
     use_pallas_ffn: Union[bool, str] = False
-    use_pallas_dropout: Union[bool, str] = False
+    use_pallas_dropout: Union[bool, str] = "auto"
     use_final_proj: bool = True
     checkpoint_level: int = 0
     attn_linear_init_mode: str = "0"

@@ -131,7 +131,7 @@ class PositionwiseFFN(nn.Module):
     # dropout training (the v1 recipe).  Real TPU only; masks come from the
     # TPU PRNG, not flax Dropout draws.  Default False pending the on-TPU
     # bench A/B (CLAUDE.md gate-change protocol).
-    use_pallas_dropout: Union[bool, str] = False
+    use_pallas_dropout: Union[bool, str] = "auto"
     linear_init_mode: str = "0"
     ffn2_linear_init_mode: str = "2"
 

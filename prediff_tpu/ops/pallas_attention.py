@@ -1603,10 +1603,11 @@ def supports_attention_dropout(R: int, vol: int, C: int,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def fused_cuboid_attention_layer_v4_dropout_diff(
     x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
     num_heads, scale, eps=1e-5, rate_attn=0.0, rate_proj=0.0,
+    mxu_dtype_name="bfloat16",
 ):
     """v4 whole-layer attention with in-kernel PRNG dropout on the attention
     weights and the projected output (round-4, VERDICT r3 #2).  TRAIN path
@@ -1616,27 +1617,30 @@ def fused_cuboid_attention_layer_v4_dropout_diff(
     threefry draws — an equally-valid, differently-drawn trajectory."""
     return fused_cuboid_attention_layer_v4(
         x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
-        eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        eps=eps, mxu_dtype_name=mxu_dtype_name, seed=seed,
         rate_attn=rate_attn, rate_proj=rate_proj,
     )
 
 
 def _v4_dropout_diff_fwd(x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj,
-                         b_proj, num_heads, scale, eps, rate_attn, rate_proj):
+                         b_proj, num_heads, scale, eps, rate_attn, rate_proj,
+                         mxu_dtype_name):
     out = fused_cuboid_attention_layer_v4(
         x, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj, num_heads, scale,
-        eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        eps=eps, mxu_dtype_name=mxu_dtype_name, seed=seed,
         rate_attn=rate_attn, rate_proj=rate_proj,
     )
     return out, (x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj)
 
 
-def _v4_dropout_diff_bwd(num_heads, scale, eps, rate_attn, rate_proj, res, g):
+def _v4_dropout_diff_bwd(num_heads, scale, eps, rate_attn, rate_proj,
+                         mxu_dtype_name, res, g):
     x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj = res
     dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj = (
         fused_cuboid_attention_layer_v4_bwd_full(
             x, g, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads, scale,
-            eps=eps, seed=seed, rate_attn=rate_attn, rate_proj=rate_proj,
+            eps=eps, mxu_dtype_name=mxu_dtype_name, seed=seed,
+            rate_attn=rate_attn, rate_proj=rate_proj,
         )
     )
     return dx, None, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj
@@ -1646,39 +1650,40 @@ fused_cuboid_attention_layer_v4_dropout_diff.defvjp(
     _v4_dropout_diff_fwd, _v4_dropout_diff_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 9, 10, 11, 12, 13, 14))
 def fused_axial_attention_5d_dropout_diff(
     x, seed, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
     num_heads, scale, eps=1e-5, rate_attn=0.0, rate_proj=0.0,
+    mxu_dtype_name="bfloat16",
 ):
     """Natural-layout axial attention with in-kernel PRNG dropout (see
     fused_cuboid_attention_layer_v4_dropout_diff)."""
     return fused_axial_attention_5d(
         x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-        num_heads, scale, eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        num_heads, scale, eps=eps, mxu_dtype_name=mxu_dtype_name, seed=seed,
         rate_attn=rate_attn, rate_proj=rate_proj,
     )
 
 
 def _axial_dropout_diff_fwd(x, seed, axis, ln_scale, ln_bias, w_qkv, bias,
                             w_proj, b_proj, num_heads, scale, eps,
-                            rate_attn, rate_proj):
+                            rate_attn, rate_proj, mxu_dtype_name):
     out = fused_axial_attention_5d(
         x, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, b_proj,
-        num_heads, scale, eps=eps, mxu_dtype_name="bfloat16", seed=seed,
+        num_heads, scale, eps=eps, mxu_dtype_name=mxu_dtype_name, seed=seed,
         rate_attn=rate_attn, rate_proj=rate_proj,
     )
     return out, (x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj)
 
 
 def _axial_dropout_diff_bwd(axis, num_heads, scale, eps, rate_attn,
-                            rate_proj, res, g):
+                            rate_proj, mxu_dtype_name, res, g):
     x, seed, ln_scale, ln_bias, w_qkv, bias, w_proj = res
     dx, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj = (
         fused_axial_attention_5d_bwd_full(
             x, g, axis, ln_scale, ln_bias, w_qkv, bias, w_proj, num_heads,
-            scale, eps=eps, seed=seed, rate_attn=rate_attn,
-            rate_proj=rate_proj,
+            scale, eps=eps, mxu_dtype_name=mxu_dtype_name, seed=seed,
+            rate_attn=rate_attn, rate_proj=rate_proj,
         )
     )
     return dx, None, d_gamma, d_beta, dwqkv, dbias, dwproj, db_proj

@@ -786,33 +786,42 @@ def fused_ffn_dropout_bwd_full(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def fused_ffn_dropout_diff(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
                            eps=1e-5, activation="gelu",
-                           rate_act=0.0, rate_out=0.0):
+                           rate_act=0.0, rate_out=0.0,
+                           mxu_dtype_name="bfloat16"):
     """Differentiable fused FFN with in-kernel PRNG dropout (round-4,
     VERDICT r3 #2): forward = one Pallas kernel incl. both dropout masks;
     backward = ONE Pallas kernel computing dx + every parameter grad with
     the identical masks regenerated from ``seed``.  Real-TPU only (callers
-    gate with supports_dropout_shape); bf16 MXU operands."""
+    gate with supports_dropout_shape); bf16 MXU operands by default.
+    (NOTE: the axon terminal compiles with --xla_allow_excess_precision=true,
+    under which the f32 and bf16 variants produce bit-identical results —
+    probe67 debugging; the knob is kept for toolchains where it matters.)"""
     return fused_ffn_dropout(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
                              eps=eps, activation=activation,
-                             rate_act=rate_act, rate_out=rate_out)
+                             rate_act=rate_act, rate_out=rate_out,
+                             mxu_dtype_name=mxu_dtype_name)
 
 
 def _ffn_dropout_diff_fwd(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
-                          eps, activation, rate_act, rate_out):
+                          eps, activation, rate_act, rate_out,
+                          mxu_dtype_name):
     out = fused_ffn_dropout(x, seed, ln_scale, ln_bias, w1, b1, w2, b2,
                             eps=eps, activation=activation,
-                            rate_act=rate_act, rate_out=rate_out)
+                            rate_act=rate_act, rate_out=rate_out,
+                            mxu_dtype_name=mxu_dtype_name)
     return out, (x, seed, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
-def _ffn_dropout_diff_bwd(eps, activation, rate_act, rate_out, res, g):
+def _ffn_dropout_diff_bwd(eps, activation, rate_act, rate_out,
+                          mxu_dtype_name, res, g):
     x, seed, ln_scale, ln_bias, w1, b1, w2, b2 = res
     dx, d_gamma, d_beta, dw1, db1, dw2, db2 = fused_ffn_dropout_bwd_full(
         x, g, seed, ln_scale, ln_bias, w1, b1, w2, eps=eps,
         activation=activation, rate_act=rate_act, rate_out=rate_out,
+        mxu_dtype_name=mxu_dtype_name,
     )
     return (dx, None, d_gamma, d_beta, dw1, db1, dw2,
             db2.astype(b2.dtype))

@@ -3,16 +3,32 @@
 pltpu.prng_* has no interpret-mode lowering, so the CPU suite can only test
 the gate logic — the numerics are validated HERE on the real chip:
 
-  1. mask statistics: E[y]/E[x] ~= 1 (inverted-scaling unbiasedness) and the
-     realized keep fraction ~= 1-rate for both FFN masks and both attention
-     masks (recovered from zero patterns at rate 0.5);
-  2. determinism: same seed -> bit-identical outputs; different seed ->
-     different masks;
-  3. forward/backward mask consistency: directional derivative
-     (f(x+eps v) - f(x-eps v)) / 2eps  ==  <grad f, v>  with the SAME seed
-     (only holds if the backward regenerates exactly the forward's masks);
-  4. train-vs-eval expectation: mean over many seeds of the dropout forward
-     approaches the deterministic forward (loosely, CLT bound).
+  1. mask statistics: realized keep fraction ~= 1-rate, and the mean over
+     many seeds of the dropout forward approaches the deterministic forward
+     (inverted-scaling unbiasedness, CLT bound);
+  2. determinism: same seed -> bit-identical outputs AND grads; different
+     seed -> different masks;
+  3. forward/backward mask consistency — EXACT checks (a directional
+     derivative is useless here: the axon terminal compiles with
+     --xla_allow_excess_precision=true, the forward carries ~1e-3 relative
+     bf16 rounding whatever mxu dtype is requested, and /(2 eps) amplifies
+     that to ~10-100%% of the true derivative; first probe67 run read pure
+     noise):
+       a. rate 0: the dropout backward must be BIT-IDENTICAL to the
+          independently validated (probe65 + interpret-mode A/B) full
+          backward, for dx and every parameter grad;
+       b. m2 (out mask): db2 == sum_rows cot*m2/(1-r) with m2 recovered
+          exactly from the forward's zero pattern;
+       c. m1 (hidden mask): with w2 = I (HID == C) and rate_out = 0, the
+          forward's zero pattern recovers m1 exactly; all kernel grads are
+          then compared against jnp autodiff of a reference carrying the
+          recovered m1 (bf16-rounding tolerance);
+       d. attention: rate0 bit-equality vs the validated full backward +
+          db_proj exactness.  db_proj also pins the PRNG stream POSITION:
+          the proj mask is drawn AFTER the H head-mask draws in both
+          kernels, so a backward that drew head masks in a different
+          order/shape would read its proj mask from a shifted stream and
+          fail this check.
 
 Protocol (CLAUDE.md): single process, warmup first, device-scalar fetches.
 """
@@ -78,27 +94,25 @@ print(f"FFN mean-over-seeds branch bias {num/den:.4f} "
       f"(CLT noise ~{1/np.sqrt(N_SEEDS * TOK):.4f} scale)", flush=True)
 assert num / den < 0.1
 
-# ---- 3: fwd/bwd mask consistency (directional derivative) -------------- #
-v = jnp.asarray(rs.randn(TOK, C).astype(np.float32))
 cot = jnp.asarray(rs.randn(TOK, C).astype(np.float32))
 
+# ---- 3a: rate0 — dropout bwd == validated full bwd, every output ------- #
+grads_drop0 = jax.grad(
+    lambda *p: jnp.vdot(pf.fused_ffn_dropout_diff(
+        p[0], seed, *p[1:], 1e-5, "gelu", 0.0, 0.0), cot),
+    argnums=tuple(range(7)))(x, gam, bet, w1, b1, w2, b2)
+grads_ref0 = jax.grad(
+    lambda *p: jnp.vdot(pf.fused_ffn_diff(
+        *p, 1e-5, "gelu", "bfloat16", False, True), cot),
+    argnums=tuple(range(7)))(x, gam, bet, w1, b1, w2, b2)
+for name, a, b in zip(("dx", "dgam", "dbet", "dw1", "db1", "dw2", "db2"),
+                      grads_drop0, grads_ref0):
+    d = float(jnp.max(jnp.abs(a - b)))
+    assert d == 0.0, (name, d)
+print("FFN rate0: dropout bwd BIT-IDENTICAL to validated full bwd "
+      "(7/7 grads)", flush=True)
 
-def f_scalar(xx):
-    return jnp.vdot(pf.fused_ffn_dropout_diff(
-        xx, seed, gam, bet, w1, b1, w2, b2, 1e-5, "gelu", RATE, RATE), cot)
-
-
-g = jax.grad(f_scalar)(x)
-lhs = float(jnp.vdot(g, v))
-eps = 1e-3
-rhs = float((f_scalar(x + eps * v) - f_scalar(x - eps * v)) / (2 * eps))
-print(f"FFN directional derivative: grad {lhs:.4f} vs FD {rhs:.4f} "
-      f"(rel {abs(lhs-rhs)/max(abs(rhs),1e-6):.4f})", flush=True)
-assert abs(lhs - rhs) / max(abs(rhs), 1e-6) < 0.05
-
-# param-grad consistency: dW2 via the dropout bwd vs autodiff of a jnp
-# reference sharing the SAME masks is impossible off-kernel; instead check
-# db2 == sum over kept rows of cot * mask2/(1-r): recover mask2 from fwd
+# ---- 3b: m2 exactness — db2 == sum cot*m2/(1-r) ------------------------ #
 mask2 = (np.abs(y1 - np.asarray(x)) > 0).astype(np.float64)
 
 
@@ -112,6 +126,61 @@ want_db2 = (np.asarray(cot) * mask2 / (1 - RATE)).sum(axis=0)
 rel = np.abs(db2 - want_db2).max() / max(np.abs(want_db2).max(), 1e-6)
 print(f"FFN db2 vs mask-recovered expectation: max rel {rel:.5f}", flush=True)
 assert rel < 5e-3, rel
+
+# grad determinism: same seed -> identical grads, different seed -> differ
+g1 = np.asarray(jax.grad(lambda q: jnp.vdot(pf.fused_ffn_dropout_diff(
+    q, seed, gam, bet, w1, b1, w2, b2, 1e-5, "gelu", RATE, RATE), cot))(x))
+g2 = np.asarray(jax.grad(lambda q: jnp.vdot(pf.fused_ffn_dropout_diff(
+    q, seed, gam, bet, w1, b1, w2, b2, 1e-5, "gelu", RATE, RATE), cot))(x))
+g3 = np.asarray(jax.grad(lambda q: jnp.vdot(pf.fused_ffn_dropout_diff(
+    q, seed_b, gam, bet, w1, b1, w2, b2, 1e-5, "gelu", RATE, RATE), cot))(x))
+assert (g1 == g2).all() and (g1 != g3).any()
+print("FFN grad determinism: same-seed identical, cross-seed differs",
+      flush=True)
+
+# ---- 3c: m1 consistency — w2=I recovery + jnp reference grads ---------- #
+CI = C  # HID == C so w2 can be the identity
+assert pf.supports_dropout_shape(TOK, CI, CI)
+w1s = jnp.asarray((rs.randn(CI, CI) * 0.05).astype(np.float32))
+b1s = jnp.asarray((0.02 * rs.randn(CI)).astype(np.float32))
+eye = jnp.eye(CI, dtype=jnp.float32)
+zb = jnp.zeros((CI,), jnp.float32)
+y_id = np.asarray(pf.fused_ffn_dropout(
+    x, seed, gam, bet, w1s, b1s, eye, zb, activation="gelu",
+    rate_act=RATE, rate_out=0.0))
+m1 = (np.abs(y_id - np.asarray(x)) > 0).astype(np.float32)  # exact
+kept1 = float(m1.mean())
+print(f"FFN act-mask keep fraction {kept1:.4f} (expect ~{1-RATE:.2f})",
+      flush=True)
+assert abs(kept1 - (1 - RATE)) < 0.02, kept1
+m1j = jnp.asarray(m1)
+
+
+def ref_with_m1(xx, gg, bb, ww1, bb1, ww2, bb2):
+    mu = jnp.mean(xx, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xx - mu), -1, keepdims=True)
+    ln = (xx - mu) * jax.lax.rsqrt(var + 1e-5) * gg + bb
+    z = ln @ ww1 + bb1
+    a = z * 0.5 * (1.0 + jax.lax.erf(z * (2.0 ** -0.5)))
+    a = a * m1j / (1 - RATE)
+    return xx + a @ ww2 + bb2
+
+
+args = (x, gam, bet, w1s, b1s, eye, zb)
+gk = jax.grad(lambda *p: jnp.vdot(pf.fused_ffn_dropout_diff(
+    p[0], seed, *p[1:], 1e-5, "gelu", RATE, 0.0), cot),
+    argnums=tuple(range(7)))(*args)
+gr = jax.grad(lambda *p: jnp.vdot(ref_with_m1(*p), cot),
+              argnums=tuple(range(7)))(*args)
+for name, a, b in zip(("dx", "dgam", "dbet", "dw1", "db1", "dw2", "db2"),
+                      gk, gr):
+    aa, bb_ = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    rel = np.abs(aa - bb_).max() / max(np.abs(bb_).max(), 1e-6)
+    print(f"  m1-chain {name}: max rel {rel:.5f}", flush=True)
+    # bf16-rounding scale; a mask mismatch would be O(1) on masked entries
+    assert rel < 0.03, (name, rel)
+print("FFN m1 fwd/bwd consistency: kernel grads match jnp reference "
+      "carrying the forward-recovered mask", flush=True)
 
 # ---- attention kernel dropout ------------------------------------------ #
 B, T, H, W, AC, HEADS = 2, 13, 16, 16, 256, 4
@@ -139,20 +208,50 @@ print(f"attn proj-mask keep fraction {kept_a:.4f} (expect ~{1-RATE:.2f})",
 assert abs(kept_a - (1 - RATE)) < 0.02, kept_a
 
 acot = jnp.asarray(rs.randn(*ax.shape).astype(np.float32))
-av = jnp.asarray(rs.randn(*ax.shape).astype(np.float32))
+APARAMS = (ax, agam, abet, awqkv, abias, awproj, abproj)
+
+# rate0: dropout bwd == validated full bwd, bit-identical, all grads
+gad = jax.grad(lambda *p: jnp.vdot(pa.fused_axial_attention_5d_dropout_diff(
+    p[0], seed, 0, *p[1:], HEADS, scale, 1e-5, 0.0, 0.0), acot),
+    argnums=tuple(range(7)))(*APARAMS)
+gar = jax.grad(lambda *p: jnp.vdot(pa.fused_axial_attention_5d_diff(
+    p[0], 0, *p[1:], HEADS, scale, 1e-5, "bfloat16", False, True), acot),
+    argnums=tuple(range(7)))(*APARAMS)
+for name, a, b in zip(("dx", "dgam", "dbet", "dwqkv", "dbias", "dwproj",
+                       "dbproj"), gad, gar):
+    d = float(jnp.max(jnp.abs(a - b)))
+    assert d == 0.0, (name, d)
+print("attn rate0: dropout bwd BIT-IDENTICAL to validated full bwd "
+      "(7/7 grads)", flush=True)
+
+# db_proj exactness (validates m_proj AND the stream position after the
+# H head-mask draws)
+mask_p = (np.abs(a1) > 0).astype(np.float64).reshape(-1, AC)
 
 
-def fa_scalar(xx):
+def loss_bp(bb):
     return jnp.vdot(pa.fused_axial_attention_5d_dropout_diff(
-        xx, seed, 0, agam, abet, awqkv, abias, awproj, abproj,
+        ax, seed, 0, agam, abet, awqkv, abias, awproj, bb,
         HEADS, scale, 1e-5, RATE, RATE), acot)
 
 
-ga = jax.grad(fa_scalar)(ax)
-lhs = float(jnp.vdot(ga, av))
-rhs = float((fa_scalar(ax + eps * av) - fa_scalar(ax - eps * av)) / (2 * eps))
-print(f"attn directional derivative: grad {lhs:.4f} vs FD {rhs:.4f} "
-      f"(rel {abs(lhs-rhs)/max(abs(rhs),1e-6):.4f})", flush=True)
-assert abs(lhs - rhs) / max(abs(rhs), 1e-6) < 0.05
+dbp = np.asarray(jax.grad(loss_bp)(abproj))
+want_dbp = (np.asarray(acot).reshape(-1, AC) * mask_p / (1 - RATE)).sum(axis=0)
+rel = np.abs(dbp - want_dbp).max() / max(np.abs(want_dbp).max(), 1e-6)
+print(f"attn db_proj vs mask-recovered expectation: max rel {rel:.5f}",
+      flush=True)
+assert rel < 5e-3, rel
+
+# grad determinism across seeds
+ag1 = np.asarray(jax.grad(lambda q: jnp.vdot(
+    pa.fused_axial_attention_5d_dropout_diff(
+        q, seed, 0, agam, abet, awqkv, abias, awproj, abproj,
+        HEADS, scale, 1e-5, RATE, RATE), acot))(ax))
+ag2 = np.asarray(jax.grad(lambda q: jnp.vdot(
+    pa.fused_axial_attention_5d_dropout_diff(
+        q, seed_b, 0, agam, abet, awqkv, abias, awproj, abproj,
+        HEADS, scale, 1e-5, RATE, RATE), acot))(ax))
+assert (ag1 != ag2).any()
+print("attn grad determinism: cross-seed differs", flush=True)
 
 print("probe67 PASS", flush=True)
