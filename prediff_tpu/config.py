@@ -93,6 +93,12 @@ def optim_default() -> Dict:
         # slower than dropout-0 — threefry mask generation is the suspect;
         # probe43 quantifies the rbg effect.
         prng_impl="auto",
+        # steps_per_call (optional key, default 1): scan K optimizer steps
+        # per device dispatch from K host-stacked batches (loop.py::fit +
+        # DiffusionTrainer.make_train_step_scan).  Identical math to K
+        # single steps (tested); amortizes per-dispatch host overhead.
+        # Metrics still log on the per-step cadence; max_steps rounds up to
+        # the chunk boundary; ragged epoch tails (< K batches) are dropped.
         # flat_update: run clip/adam/EMA on ONE raveled param vector (one
         # fused kernel) instead of ~4 tiny fusions per param leaf.  Measured
         # 7% SLOWER on a v5e (probe45: 22.4 vs 24.2 samples/s at B=8 — the

@@ -87,6 +87,12 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def chunk_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard axis 1 of a (K, B, ...) stacked-batch chunk (the scan axis K is
+    replicated; see DiffusionTrainer.make_train_step_scan)."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicate(tree, mesh: Mesh):
     """Place every leaf fully replicated on the mesh."""
     s = replicated_sharding(mesh)

@@ -144,12 +144,23 @@ def fit(
     log_every_n_steps: int = 50,
     max_steps: Optional[int] = None,
     logger: Optional[MetricLogger] = None,
+    train_step_scan: Optional[Callable] = None,
+    steps_per_call: int = 1,
 ):
     """Run the loop; returns the final state.
 
     ``train_batches_fn(epoch)`` yields host batches; ``make_batch_args(batch)``
     maps a host batch to the positional args of ``train_step`` after
-    ``(state, rng)``."""
+    ``(state, rng)``.
+
+    ``steps_per_call=K`` (with ``train_step_scan`` from
+    ``DiffusionTrainer.make_train_step_scan``) dispatches K optimizer steps
+    per device call; ``train_batches_fn`` must then yield batches stacked
+    ``(K, B, ...)`` on the leading axis (stack on the HOST, before the
+    device transfer — an eager device-side stack would cost the very
+    dispatch this mode removes).  Identical math to K sequential calls
+    (tested).  Metrics come back stacked and are logged on the usual
+    per-step cadence; ``max_steps`` rounds up to the chunk boundary."""
     logger = logger if logger is not None else MetricLogger(save_dir)
     tracker = CheckpointTracker(save_dir, monitor, monitor_mode, save_top_k)
     stopper = EarlyStopper(early_stop_patience, monitor_mode, early_stop)
@@ -170,13 +181,30 @@ def fit(
                 return True
         return False
 
+    K = max(int(steps_per_call), 1)
+    use_scan = K > 1
+    if use_scan and train_step_scan is None:
+        raise ValueError("steps_per_call > 1 requires train_step_scan")
+
     stop = False
     for epoch in range(max_epochs):
         for batch in train_batches_fn(epoch):
-            state, metrics = train_step(state, rng, *make_batch_args(batch))
-            global_step += 1
-            if global_step % log_every_n_steps == 0:
-                logger.log(global_step, jax.device_get(metrics))
+            if use_scan:
+                state, mets = train_step_scan(
+                    state, rng, *make_batch_args(batch))
+                base = global_step
+                global_step += K
+                if global_step // log_every_n_steps > base // log_every_n_steps:
+                    host = jax.device_get(mets)  # some sub-step logs
+                    for k in range(K):
+                        if (base + k + 1) % log_every_n_steps == 0:
+                            logger.log(base + k + 1,
+                                       {m: v[k] for m, v in host.items()})
+            else:
+                state, metrics = train_step(state, rng, *make_batch_args(batch))
+                global_step += 1
+                if global_step % log_every_n_steps == 0:
+                    logger.log(global_step, jax.device_get(metrics))
             if max_steps is not None and global_step >= max_steps:
                 stop = True  # hit mid-epoch: final validation still runs below
                 break

@@ -185,12 +185,31 @@ def main():
         latent_cache = LatentCache(args.latents)
 
     from prediff_tpu.datasets.prefetch import prefetch_to_device
-    from prediff_tpu.parallel.mesh import batch_sharding
+    from prediff_tpu.parallel.mesh import batch_sharding, chunk_sharding
+
+    # K>1: scan K optimizer steps per dispatch (DiffusionTrainer.
+    # make_train_step_scan) from K host batches stacked in the producer
+    # thread BEFORE the device transfer; amortizes per-dispatch host
+    # overhead (probe71).  Identical math to K single steps (tested).
+    steps_per_call = int(cfg.optim.get("steps_per_call", 1))
+
+    def chunked(gen):
+        """Stack K (x, y) host batches to ((K,B,...), (K,B,...)); ragged
+        epoch tails are dropped like ragged batches above."""
+        buf = []
+        for xy in gen:
+            buf.append(xy)
+            if len(buf) == steps_per_call:
+                yield tuple(np.stack([b[i] for b in buf])
+                            for i in range(len(buf[0])))
+                buf = []
 
     def train_batches(epoch):
         """Host-side read/aug/split runs in a producer thread with
         double-buffered sharded device_put (datasets/prefetch.py), so input
         latency overlaps device compute."""
+        sharding = (chunk_sharding(mesh) if steps_per_call > 1
+                    else batch_sharding(mesh))
         if latent_cache is not None:
             # latent mode: (mx, my) cached-moments windows; validation below
             # stays pixel-based (it samples + scores forecasts)
@@ -200,8 +219,8 @@ def main():
                         continue
                     yield mom[out_slice], mom[in_slice]
 
-            yield from prefetch_to_device(
-                gen(), size=2, sharding=batch_sharding(mesh))
+            g = chunked(gen()) if steps_per_call > 1 else gen()
+            yield from prefetch_to_device(g, size=2, sharding=sharding)
             return
 
         def gen():
@@ -210,11 +229,14 @@ def main():
                     continue  # drop ragged tail for static shapes
                 yield b[out_slice], b[in_slice]  # x (target), y (context)
 
+        g = chunked(gen()) if steps_per_call > 1 else gen()
         for i, xy in enumerate(
-            prefetch_to_device(gen(), size=2, sharding=batch_sharding(mesh))
+            prefetch_to_device(g, size=2, sharding=sharding)
         ):
             if i == 0:
-                train_example["xy"] = xy
+                # periodic train vis wants one (B, ...) batch
+                train_example["xy"] = (
+                    tuple(a[0] for a in xy) if steps_per_call > 1 else xy)
             yield xy
 
     # ---- validation: diffusion loss + sampled-forecast skill scores ----
@@ -323,6 +345,9 @@ def main():
     state = fit(
         state=state,
         train_step=trainer.train_step,
+        train_step_scan=(trainer.train_step_scan if steps_per_call > 1
+                         else None),
+        steps_per_call=steps_per_call,
         train_batches_fn=train_batches,
         make_batch_args=lambda b: b,
         max_epochs=cfg.optim.max_epochs,

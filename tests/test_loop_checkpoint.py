@@ -192,3 +192,80 @@ def test_metric_logger_wandb_gated_offline(tmp_path):
 
     rec = _json.loads(open(tmp_path / "metrics.jsonl").read().strip())
     assert rec["step"] == 3 and rec["loss"] == 1.5 and "skipme" not in rec
+
+
+def test_fit_steps_per_call_scan_chunks(tmp_path):
+    """fit(steps_per_call=K): K-stacked chunks dispatch through
+    train_step_scan; global-step accounting, per-sub-step metric logging on
+    the cadence, and equality with the K=1 loop over the same batches."""
+    import json
+
+    def single_step(state, rng, x):
+        def loss_fn(p):
+            return jnp.mean((x @ p["w"] + p["b"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"train/loss": loss}
+
+    def scan_step(state, rng, xs):
+        def body(st, x):
+            return single_step(st, rng, x)
+
+        return jax.lax.scan(body, state, xs)
+
+    K = 2
+    rng_np = np.random.RandomState(0)
+    flat = [jnp.asarray(rng_np.randn(8, 2).astype(np.float32))
+            for _ in range(8)]  # 2 epochs x 4 batches
+
+    def batches_k1(epoch):
+        yield from flat[epoch * 4:(epoch + 1) * 4]
+
+    def batches_chunked(epoch):
+        ep = flat[epoch * 4:(epoch + 1) * 4]
+        for i in range(0, 4, K):
+            yield jnp.stack(ep[i:i + K])
+
+    d1, d2 = tmp_path / "k1", tmp_path / "k2"
+    out1 = fit(
+        state=_make_state(), train_step=jax.jit(single_step),
+        train_batches_fn=batches_k1, make_batch_args=lambda b: (b,),
+        max_epochs=2, save_dir=str(d1), rng=jax.random.PRNGKey(0),
+        log_every_n_steps=3,
+    )
+    out2 = fit(
+        state=_make_state(), train_step=jax.jit(single_step),
+        train_step_scan=jax.jit(scan_step), steps_per_call=K,
+        train_batches_fn=batches_chunked, make_batch_args=lambda b: (b,),
+        max_epochs=2, save_dir=str(d2), rng=jax.random.PRNGKey(0),
+        log_every_n_steps=3,
+    )
+    assert int(out1.step) == int(out2.step) == 8
+    np.testing.assert_allclose(np.asarray(out2.params["w"]),
+                               np.asarray(out1.params["w"]),
+                               rtol=1e-6, atol=1e-8)
+    # the chunked loop logs the SAME (step, loss) records as the K=1 loop
+    recs1 = [json.loads(line) for line in open(d1 / "metrics.jsonl")]
+    recs2 = [json.loads(line) for line in open(d2 / "metrics.jsonl")]
+    steps1 = [r["step"] for r in recs1]
+    steps2 = [r["step"] for r in recs2]
+    assert steps1 == steps2 == [3, 6]
+    for r1, r2 in zip(recs1, recs2):
+        assert r1["train/loss"] == pytest.approx(r2["train/loss"], rel=1e-6)
+
+    # steps_per_call > 1 without a scan fn is a clear error
+    with pytest.raises(ValueError):
+        fit(state=_make_state(), train_step=jax.jit(single_step),
+            steps_per_call=2, train_batches_fn=batches_chunked,
+            make_batch_args=lambda b: (b,), max_epochs=1,
+            save_dir=str(tmp_path / "err"), rng=jax.random.PRNGKey(0))
+
+    # max_steps rounds up to the chunk boundary (documented)
+    out3 = fit(
+        state=_make_state(), train_step=jax.jit(single_step),
+        train_step_scan=jax.jit(scan_step), steps_per_call=K,
+        train_batches_fn=batches_chunked, make_batch_args=lambda b: (b,),
+        max_epochs=2, save_dir=str(tmp_path / "k3"),
+        rng=jax.random.PRNGKey(0), max_steps=3,
+    )
+    assert int(out3.step) == 4

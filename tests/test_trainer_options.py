@@ -141,3 +141,46 @@ def test_compute_dtype_bf16_sampling(setup):
     corr = np.corrcoef(np.asarray(out16, np.float32).ravel(),
                        np.asarray(out32).ravel())[0, 1]
     assert corr > 0.3
+
+
+def test_train_step_scan_matches_sequential(setup):
+    """make_train_step_scan (round-4): K scanned steps == K sequential
+    single-step calls (same outer rng; per-step rng is fold_in(rng,
+    state.step) in both paths), and the stacked metrics match the per-step
+    metrics.  Tolerance is LSB-scale, not bit-exact: the scan body and the
+    standalone step are different compiled programs and XLA may reassociate
+    fusions differently."""
+    ld, unet_params, vae_params, x, y = setup
+    rng = jax.random.PRNGKey(7)
+    K = 3
+    rs = np.random.RandomState(5)
+    xs = jnp.asarray(rs.rand(K, *x.shape).astype(np.float32))
+    ys = jnp.asarray(rs.rand(K, *y.shape).astype(np.float32))
+
+    tr = DiffusionTrainer(ld, vae_params,
+                          optim_config=dict(lr=1e-3, total_num_steps=10))
+    s_seq = tr.create_state(unet_params)
+    seq_metrics = []
+    for k in range(K):
+        s_seq, m = tr.train_step(s_seq, rng, xs[k], ys[k])
+        seq_metrics.append(jax.device_get(m))
+
+    s_scan = tr.create_state(unet_params)
+    s_scan, mets = tr.train_step_scan(s_scan, rng, xs, ys)
+    mets = jax.device_get(mets)
+
+    assert int(s_scan.step) == int(s_seq.step) == K
+    for (p_a, p_b) in zip(jax.tree_util.tree_leaves(s_scan.params),
+                          jax.tree_util.tree_leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b),
+                                   rtol=1e-5, atol=1e-8)
+    for (e_a, e_b) in zip(jax.tree_util.tree_leaves(s_scan.ema_params),
+                          jax.tree_util.tree_leaves(s_seq.ema_params)):
+        np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_b),
+                                   rtol=1e-5, atol=1e-8)
+    for k in range(K):
+        for key in seq_metrics[k]:
+            np.testing.assert_allclose(
+                np.asarray(mets[key][k]), np.asarray(seq_metrics[k][key]),
+                rtol=1e-5, atol=1e-8,
+                err_msg=f"metric {key} sub-step {k}")
