@@ -42,6 +42,13 @@ x = jnp.asarray(np.random.RandomState(0).rand(B, 128, 128, 1)
                 .astype(np.float32))
 step = tr.train_step
 print("compiling...", flush=True)
+lowered = jax.jit(tr.make_train_step()).lower(gs, ds, bs, rng, x)
+hlo = lowered.compile().as_text()
+srcmap = {}
+for mm in re.finditer(
+        r"%?([\w\.\-]+) = [^\n]*metadata={op_name=\"([^\"]+)\"", hlo):
+    srcmap[mm.group(1)] = mm.group(2)
+print(f"{len(srcmap)} ops with metadata", flush=True)
 gs, ds, bs, mets = step(gs, ds, bs, rng, x)
 _ = float(np.asarray(mets["train/total_loss"]))
 for i in range(3):
@@ -56,9 +63,6 @@ for i in range(NITER):
 _ = float(np.asarray(mets["train/total_loss"]))
 jax.profiler.stop_trace()
 
-# op_name metadata from the compiled step
-compiled = jax.jit(tr.make_train_step()).lower(
-    gs, ds, bs, rng, x).compile() if False else None
 from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 
 pbs = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
@@ -94,7 +98,25 @@ for k, ps in tot.items():
     p = re.sub(r"[.\-]?\d+$", "", k)
     pre_t[p] += ps
     pre_c[p] += cnt[k]
-print("\nby op prefix (top 25):", flush=True)
-for p, ps in pre_t.most_common(25):
+print("\nby op prefix (top 10):", flush=True)
+for p, ps in pre_t.most_common(10):
     print(f"  {ps/1e9/NITER:8.3f} ms x{pre_c[p]//NITER:<6d} {p}", flush=True)
+
+
+def srctag(op):
+    sname = srcmap.get(op)
+    if not sname:
+        return "<unattr> " + re.sub(r"[.\-]?\d+$", "", op)
+    parts = [q for q in sname.split("/") if q and not q.startswith("jit(")]
+    return "/".join(parts[:3]) if parts else sname
+
+
+by_src = collections.Counter()
+for k, ps in tot.items():
+    if k in wrap:
+        continue
+    by_src[srctag(k)] += ps
+print("\nby source region (top 35):", flush=True)
+for tag, ps in by_src.most_common(35):
+    print(f"  {ps/1e9/NITER:8.3f} ms  {tag}", flush=True)
 print("probe73 done", flush=True)
