@@ -145,6 +145,14 @@ def fused_groupnorm_silu(
     has_emb = emb is not None
     emb_in = emb.reshape(B, 1, C) if has_emb else jnp.zeros((B, 1, C), x.dtype)
     grid = (B, N // tm)
+    # Mosaic stacks ~6 block-sized f32 temporaries per cell; at the UNet's
+    # (N=3328, C=256) GN shapes that is ~19.5 MB — over the 16 MB default
+    # scoped-vmem limit, and the overflow only SURFACES at B>=16 (probe74;
+    # B=8 compiles — Mosaic's accounting varies with grid extent).  Same
+    # failure class as round-3's resblock probe58: invisible to interpret
+    # mode, fixed by raising the limit (VMEM is 128 MB; full-bwd uses 100).
+    params = ({} if interpret else {"compiler_params":
+              pltpu.CompilerParams(vmem_limit_bytes=GN_FWD_VMEM_LIMIT)})
     x_spec = pl.BlockSpec((1, tm, C), lambda b, i: (b, i, 0))
     emb_spec = pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0))
     gmat_spec = pl.BlockSpec((C, gp), lambda b, i: (0, 0))
@@ -157,6 +165,7 @@ def fused_groupnorm_silu(
         out_specs=pl.BlockSpec((1, 3, gp), lambda b, i: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 3, gp), jnp.float32),
         interpret=interpret,
+        **params,
     )(x, emb_in, gmat)
     count = float(N * (C // groups))
     stats_spec = pl.BlockSpec((1, 3, gp), lambda b, i: (b, 0, 0))
@@ -174,6 +183,7 @@ def fused_groupnorm_silu(
             transcendentals=B * N * C,
         ),
         interpret=interpret,
+        **params,
     )(x, emb_in, stats, scale.reshape(1, C), bias.reshape(1, C), gmat)
 
 
@@ -250,6 +260,7 @@ def _gn_bwd_full_kernel(
 
 
 GN_FULL_BWD_VMEM_LIMIT = 100 * 1024 * 1024
+GN_FWD_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def supports_full_bwd(N: int, C: int, groups: int) -> bool:
