@@ -118,6 +118,12 @@ def optim_default() -> Dict:
         # probe66 measures the win; see EmaTrainState.pack_small_thr.
         pack_small_thr=0,
         matmul_precision=None,
+        # vae_compute_dtype (VAE-GAN training only): 'bfloat16' runs the
+        # autoencoder fwd/bwd with bf16 params+activations (loss math, KL,
+        # adaptive weight, discriminator, optimizer all stay f32); 'auto' =
+        # bf16 on real TPUs.  probe75 measures the win; default off until
+        # recorded (see VAETrainer.compute_dtype).
+        vae_compute_dtype=None,
         # conv3d_impl: the 3-D conv lowering for the TRAIN step only.  'auto'
         # = XLA's native 3-D conv on real TPUs when the per-device batch is
         # >= 8 (probe49: +3.6% whole-step at B=8 but -7.6% at B=2, where

@@ -15,6 +15,7 @@ from jax.sharding import Mesh
 
 from ..models.vae import AutoencoderKL
 from ..utils.distributions import DiagonalGaussianDistribution
+from ..utils.precision import cast_pytree
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from .losses import (
     NLayerDiscriminator,
@@ -56,6 +57,7 @@ class VAETrainer:
         mesh: Optional[Mesh] = None,
         flat_update: bool = False,
         pack_small_thr: int = 0,
+        compute_dtype: Optional[str] = None,
     ):
         self.vae = vae
         self.disc = disc or NLayerDiscriminator(input_nc=vae.out_channels, n_layers=3)
@@ -74,7 +76,23 @@ class VAETrainer:
         self.flat_update = flat_update
         # small-leaf-packed updates (see EmaTrainState.pack_small_thr)
         self.pack_small_thr = pack_small_thr
+        # 'bfloat16' runs the VAE fwd/bwd with bf16 params+activations
+        # (halves HBM activation/remat traffic — the B=32 step is
+        # conv-bandwidth-heavy).  Params are STORED f32; loss math, KL,
+        # logvar, adaptive-weight grads, the discriminator, and the
+        # optimizer all stay f32.  'auto' = bf16 iff the default backend
+        # is a real TPU (CPU tests keep the reference-parity f32 path).
+        # None/'float32' = off.
+        self.compute_dtype = compute_dtype
         self._train_step = None
+
+    def _resolved_compute_dtype(self):
+        cd = self.compute_dtype
+        if cd == "auto":
+            cd = "bfloat16" if jax.default_backend() == "tpu" else None
+        if cd in (None, "float32", "f32"):
+            return None
+        return jnp.dtype(cd)
 
     def create_states(self, rng, sample_input) -> Tuple[EmaTrainState, EmaTrainState, Any]:
         """Returns (gen_state, disc_state, disc_batch_stats)."""
@@ -104,15 +122,27 @@ class VAETrainer:
 
     # -------------------------------------------------------------- #
     def _reconstruct(self, vae_params, x, rng):
+        cd = self._resolved_compute_dtype()
+        if cd is not None:
+            # bf16 params/activations through the conv stacks; the cast of
+            # the f32 leaves is differentiated (its VJP casts cotangents
+            # back), so grads land on the stored f32 tree.  Moments, the
+            # posterior sample, and the returned recon/feats are upcast so
+            # every loss reduction stays f32.
+            vae_params = cast_pytree(vae_params, cd)
+            x = x.astype(cd)
         moments = self.vae.apply(
             {"params": vae_params}, x, method=AutoencoderKL.encode_moments
-        )
+        ).astype(jnp.float32)
         posterior = DiagonalGaussianDistribution.from_parameters(moments)
         z = posterior.sample(rng)
+        if cd is not None:
+            z = z.astype(cd)
         recon, feats = self.vae.apply(
             {"params": vae_params}, z, method=AutoencoderKL.decode_with_features
         )
-        return recon, feats, posterior
+        return (recon.astype(jnp.float32), feats.astype(jnp.float32),
+                posterior)
 
     def _disc_apply(self, disc_params, batch_stats, x, train: bool):
         variables = {"params": disc_params}

@@ -97,6 +97,7 @@ def main():
         mesh=mesh,
         flat_update=cfg.optim.get("flat_update", False),
         pack_small_thr=cfg.optim.get("pack_small_thr", 0),
+        compute_dtype=cfg.optim.get("vae_compute_dtype", None),
     )
     rng = jax.random.PRNGKey(cfg.optim.seed)
     H = cfg.layout.img_height

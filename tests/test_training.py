@@ -374,6 +374,61 @@ def test_vae_gan_train_step(tiny_setup):
     assert int(gen_state.step) == 4 and int(disc_state.step) == 4
 
 
+def test_vae_gan_train_step_bf16_compute(tiny_setup):
+    """compute_dtype='bfloat16' must (a) keep the params/opt-state tree
+    f32, (b) produce finite losses, and (c) track the f32 path's first-step
+    loss to bf16 rounding (the mode only changes activation/param dtype
+    inside the autoencoder; loss math stays f32)."""
+    from prediff_tpu.training.vae_trainer import VAETrainer
+    from prediff_tpu.training.losses import NLayerDiscriminator
+
+    rng = jax.random.PRNGKey(3)
+    sample = jnp.zeros((2, tiny_setup["IMG"], tiny_setup["IMG"], 1))
+    B = 4
+    x = jnp.asarray(np.random.RandomState(5).rand(
+        B, tiny_setup["IMG"], tiny_setup["IMG"], 1).astype(np.float32))
+
+    losses = {}
+    for cd in (None, "bfloat16"):
+        trainer = VAETrainer(
+            vae=tiny_setup["vae"],
+            disc=NLayerDiscriminator(input_nc=1, ndf=8, n_layers=1),
+            disc_start=0,
+            kl_weight=1e-6,
+            disc_weight=0.5,
+            optim_config=dict(lr=1e-4, total_num_steps=100),
+            compute_dtype=cd,
+        )
+        gen_state, disc_state, batch_stats = trainer.create_states(rng, sample)
+        # stored trees stay f32 regardless of the compute dtype
+        assert all(
+            l.dtype == jnp.float32
+            for l in jax.tree_util.tree_leaves(gen_state.params)
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        for _ in range(3):
+            gen_state, disc_state, batch_stats, logs = trainer.train_step(
+                gen_state, disc_state, batch_stats, rng, x
+            )
+        assert np.isfinite(float(logs["train/total_loss"]))
+        assert np.isfinite(float(logs["train/disc_loss"]))
+        assert all(
+            l.dtype == jnp.float32
+            for l in jax.tree_util.tree_leaves(gen_state.params)
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        losses[cd] = float(logs["train/total_loss"])
+    # identical data/seed: the two paths differ only by bf16 rounding in
+    # the autoencoder; after 3 tiny-lr steps they must agree loosely
+    assert abs(losses["bfloat16"] - losses[None]) < 0.05 * (
+        1.0 + abs(losses[None])
+    ), losses
+
+    # 'auto' resolves to f32 off-TPU (CPU test path must stay reference-f32)
+    tr_auto = VAETrainer(vae=tiny_setup["vae"], compute_dtype="auto")
+    assert tr_auto._resolved_compute_dtype() is None
+
+
 def test_discriminator_parity_vs_reference():
     from conftest import reference_available, import_reference
 
