@@ -13,16 +13,18 @@ import time
 import numpy as np
 
 # Structural fingerprint of the compiled v1 sampler: pallas_call count per
-# kernel name in the traced jaxpr (scan bodies count once, so these are
-# per-UNIQUE-site).  A silent kernel-gate regression — e.g. round-3's
-# f32-counted VMEM gate pushing the stage-1 FFNs to XLA, a 10% bench loss
-# found only by a manual xplane hunt (probe62) — changes these counts, and
-# the bench fails loudly instead (VERDICT r3 #7).  Re-pin deliberately when
+# kernel name in the traced jaxpr, with per-call-site MULTIPLICITY (shared
+# tracing-cache jaxprs are counted once per reference; the denoise scan's
+# body still counts once — these are the static counts of one UNet + VAE
+# program).  A silent kernel-gate regression — e.g. round-3's f32-counted
+# VMEM gate pushing 24 stage-1 FFN sites to XLA, a 10% bench loss found
+# only by a manual xplane hunt (probe62) — changes these counts, and the
+# bench fails loudly instead (VERDICT r3 #7).  Re-pin deliberately when
 # gates change; set BENCH_SKIP_GATE_GUARD=1 to bypass for experiments.
 EXPECTED_PALLAS_COUNTS = {
-    "fused_groupnorm_silu": 8,
-    "fused_axial_attention_5d": 6,
-    "fused_ffn": 2,
+    "fused_groupnorm_silu": 66,
+    "fused_axial_attention_5d": 48,
+    "fused_ffn": 48,
 }
 
 

@@ -93,13 +93,21 @@ def count_pallas_calls(fn, *args, **kwargs) -> Dict[str, int]:
     import jax
 
     jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
-    counts: Dict[str, int] = {}
-    seen = set()
+    # JAX's tracing cache reuses one jaxpr OBJECT for repeated calls of the
+    # same jitted function, so sub-jaxprs must be counted with multiplicity
+    # (each reference adds the sub-jaxpr's counts) — a plain visited-set
+    # would collapse N identical call sites into 1 (found by the
+    # test_count_pallas_calls_fingerprint unit test).  Memoize per object
+    # id: jaxprs form a DAG, so each object is WALKED once but its counts
+    # are ADDED once per reference.
+    memo: Dict[int, Dict[str, int]] = {}
 
-    def walk(jx):
-        if id(jx) in seen:
-            return
-        seen.add(id(jx))
+    def walk(jx) -> Dict[str, int]:
+        hit = memo.get(id(jx))
+        if hit is not None:
+            return hit
+        counts: Dict[str, int] = {}
+        memo[id(jx)] = counts  # pre-bind; jaxprs cannot be cyclic
         for eqn in jx.eqns:
             if eqn.primitive.name == "pallas_call":
                 name = str(eqn.params.get("name_and_src_info",
@@ -109,7 +117,9 @@ def count_pallas_calls(fn, *args, **kwargs) -> Dict[str, int]:
                 continue  # don't recurse into the kernel body itself
             for v in eqn.params.values():
                 for sub in _sub_jaxprs(v):
-                    walk(sub)
+                    for k, n in walk(sub).items():
+                        counts[k] = counts.get(k, 0) + n
+        return counts
 
     def _sub_jaxprs(v):
         import jax.extend.core as jex_core
@@ -124,5 +134,4 @@ def count_pallas_calls(fn, *args, **kwargs) -> Dict[str, int]:
         elif callable(getattr(v, "__wrapped__", None)):
             return
 
-    walk(jaxpr.jaxpr)
-    return counts
+    return walk(jaxpr.jaxpr)

@@ -77,3 +77,45 @@ def test_datamodule_prepare_data_offline(tmp_path):
     dm2 = SEVIRDataModule(sevir_dir=str(tmp_path / "somewhere_else"))
     with pytest.raises(ValueError):
         dm2.prepare_data(download=True)
+
+
+def test_count_pallas_calls_fingerprint():
+    """bench.py's kernel-gate guard (VERDICT r3 #7) rests on this jaxpr
+    walk: pallas_call equations counted by kernel name, recursing through
+    scan and custom_vjp sub-jaxprs; pure-XLA programs count empty.  An
+    API drift here would only surface on the real-TPU bench otherwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from prediff_tpu.ops import pallas_ffn
+    from prediff_tpu.utils.profiling import count_pallas_calls
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(416, 256).astype(np.float32) * 0.5)
+    ln_s = jnp.ones((256,), jnp.float32)
+    ln_b = jnp.zeros((256,), jnp.float32)
+    w1 = jnp.asarray(rs.randn(256, 1024).astype(np.float32) / 16.0)
+    b1 = jnp.zeros((1024,), jnp.float32)
+    w2 = jnp.asarray(rs.randn(1024, 256).astype(np.float32) / 32.0)
+    b2 = jnp.zeros((256,), jnp.float32)
+
+    def ffn(v):
+        return pallas_ffn.fused_ffn(
+            v, ln_s, ln_b, w1, b1, w2, b2, interpret=True)
+
+    def fn(v):
+        y = ffn(v)  # one equation at top level
+
+        def body(c, _):
+            return ffn(c), None  # one equation inside the scan body
+
+        z, _ = jax.lax.scan(body, y, None, length=3)
+        # one inside the custom_vjp primal sub-jaxpr
+        u = pallas_ffn.fused_ffn_diff(
+            z, ln_s, ln_b, w1, b1, w2, b2, 1e-5, "gelu", "bfloat16",
+            True, False)
+        return u + jnp.tanh(v)  # pure-XLA ops must NOT count
+
+    assert count_pallas_calls(fn, x) == {"fused_ffn": 3}
+    assert count_pallas_calls(lambda v: jnp.tanh(v) @ v.T, x) == {}
