@@ -79,9 +79,9 @@ class CuboidSelfAttentionLayer(nn.Module):
     # False | True (grouped scores kernel) | "layer" (whole-layer fusion)
     use_pallas_attention: Union[bool, str] = False
     # in-kernel PRNG dropout (round-4): the whole-layer kernel serves
-    # ACTIVE attn/proj dropout training (v1 recipe).  Real TPU only;
-    # default False pending the on-TPU bench A/B.
-    use_pallas_dropout: Union[bool, str] = "auto"
+    # ACTIVE attn/proj dropout training (v1 recipe).  'auto' = real TPU
+    # only (validated on-chip by probe67; +45% over the XLA v1 path,
+    # probe68).
     attn_linear_init_mode: str = "0"
     ffn_linear_init_mode: str = "2"  # the final-proj init mode (ref naming)
 

@@ -128,10 +128,9 @@ class PositionwiseFFN(nn.Module):
     pre_norm: bool = False
     use_pallas: Union[bool, str] = False
     # in-kernel PRNG dropout (round-4): lets the fused kernel serve ACTIVE-
-    # dropout training (the v1 recipe).  Real TPU only; masks come from the
-    # TPU PRNG, not flax Dropout draws.  Default False pending the on-TPU
-    # bench A/B (CLAUDE.md gate-change protocol).
-    use_pallas_dropout: Union[bool, str] = "auto"
+    # dropout training (the v1 recipe).  'auto' = real TPU only; masks come
+    # from the TPU PRNG, not flax Dropout draws (validated on-chip by
+    # probe67; +45% over the XLA v1 path, probe68).
     linear_init_mode: str = "0"
     ffn2_linear_init_mode: str = "2"
 
