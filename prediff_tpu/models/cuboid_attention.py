@@ -82,6 +82,7 @@ class CuboidSelfAttentionLayer(nn.Module):
     # ACTIVE attn/proj dropout training (v1 recipe).  'auto' = real TPU
     # only (validated on-chip by probe67; +45% over the XLA v1 path,
     # probe68).
+    use_pallas_dropout: Union[bool, str] = "auto"
     attn_linear_init_mode: str = "0"
     ffn_linear_init_mode: str = "2"  # the final-proj init mode (ref naming)
 

@@ -131,6 +131,7 @@ class PositionwiseFFN(nn.Module):
     # dropout training (the v1 recipe).  'auto' = real TPU only; masks come
     # from the TPU PRNG, not flax Dropout draws (validated on-chip by
     # probe67; +45% over the XLA v1 path, probe68).
+    use_pallas_dropout: Union[bool, str] = "auto"
     linear_init_mode: str = "0"
     ffn2_linear_init_mode: str = "2"
 
