@@ -15,6 +15,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: on this 1-core host XLA CPU compiles dominate
+# test wall time (even tiny-model flax init spends ~16 s compiling per-param
+# initializer kernels — round-5 profiling).  Cache them across processes so
+# the fast gate (`pytest -m fast`) and repeat runs stay fast.  Threshold
+# overrides are needed because CPU compiles are individually quick/small.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
