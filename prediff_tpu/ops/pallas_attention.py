@@ -31,12 +31,12 @@ NEG_INF = -1e18
 
 
 def _keep_mask(shape, rate: float):
-    """Bernoulli(1-rate) keep mask from the seeded TPU PRNG (see
-    pallas_ffn's in-kernel dropout notes; real-TPU only)."""
-    bits = pltpu.prng_random_bits(shape)
-    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
-    thr = np.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
-    return (bits >= thr).astype(jnp.float32)
+    """Bernoulli(1-rate) keep mask — single source of truth lives in
+    pallas_ffn (the fwd/bwd mask-identity contract depends on both modules
+    computing the exact same threshold/bitcast; advisor round-4)."""
+    from .pallas_ffn import _keep_mask as _km
+
+    return _km(shape, rate)
 
 
 def _fold_seed(seed):

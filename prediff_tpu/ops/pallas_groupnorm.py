@@ -151,7 +151,7 @@ def fused_groupnorm_silu(
     # B=8 compiles — Mosaic's accounting varies with grid extent).  Same
     # failure class as round-3's resblock probe58: invisible to interpret
     # mode, fixed by raising the limit (VMEM is 128 MB; full-bwd uses 100).
-    params = ({} if interpret else {"compiler_params":
+    params = ({} if interpret or pltpu is None else {"compiler_params":
               pltpu.CompilerParams(vmem_limit_bytes=GN_FWD_VMEM_LIMIT)})
     x_spec = pl.BlockSpec((1, tm, C), lambda b, i: (b, i, 0))
     emb_spec = pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0))
