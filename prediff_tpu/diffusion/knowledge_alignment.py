@@ -54,22 +54,35 @@ class KnowledgeAlignment:
     def predict(self, zt, t, zc=None, y=None):
         return self.apply_fn({"params": self.params}, zt, t, zc=zc, y=y)
 
+    def _sq_error(self, zt, t, avg_x_gt, zc=None, y=None):
+        """This shard's summed squared error (pre-psum, pre-sqrt)."""
+        pred = self.predict(zt, t, zc=zc, y=y)  # (B, T, 1)
+        # the scalar tail stays f32 regardless of compute dtype (a bf16
+        # sqrt-eps underflows and its gradient blows up at sq ~ 0)
+        pred = pred.astype(jnp.float32).mean(axis=1)  # (B, 1)
+        return jnp.sum(jnp.square(pred - avg_x_gt.astype(jnp.float32)))
+
     def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
                          axis_name=None):
         """When ``axis_name`` is given (shard_map-partitioned sampling), the
         squared error is psum'd across the mesh before the sqrt so the
         batch-coupled energy matches the unsharded computation exactly."""
-        pred = self.predict(zt, t, zc=zc, y=y)  # (B, T, 1)
-        # the scalar tail stays f32 regardless of compute dtype (a bf16
-        # sqrt-eps underflows and its gradient blows up at sq ~ 0)
-        pred = pred.astype(jnp.float32).mean(axis=1)  # (B, 1)
-        sq = jnp.sum(jnp.square(pred - avg_x_gt.astype(jnp.float32)))
+        sq = self._sq_error(zt, t, avg_x_gt, zc=zc, y=y)
         if axis_name is not None:
             sq = jax.lax.psum(sq, axis_name)
         return jnp.sqrt(sq + 1e-24)
 
     def get_mean_shift(self, zt, t, avg_x_gt, zc=None, y=None, axis_name=None):
-        """guide_scale * d(energy)/d(z_t), computed in-graph."""
+        """guide_scale * d(energy)/d(z_t), computed in-graph.
+
+        Sharded case (round-5 fix, caught by dryrun_multichip's guided
+        check): NEVER differentiate through the psum — under shard_map
+        (check_vma=False) psum's transpose is psum, which inflates the
+        gradient by the axis size (measured exactly 8x on an 8-device
+        mesh).  Instead use the chain rule explicitly: with
+        E = sqrt(psum(s_local) + eps),  dE/dz_local = (ds_local/dz_local)
+        / (2 sqrt(psum(s_local) + eps)) — other shards' s depends only on
+        their own z.  Bit-exact vs the unsharded gradient."""
         dtype = self._resolved_dtype()
         if dtype != zt.dtype:
             low = self.replace(
@@ -78,16 +91,23 @@ class KnowledgeAlignment:
                 compute_dtype=str(np.dtype(dtype)),
             )
             zc_l = None if zc is None else zc.astype(dtype)
-            grad = jax.grad(
-                lambda z: low.alignment_energy(z, t, avg_x_gt, zc=zc_l, y=y,
-                                               axis_name=axis_name)
-            )(zt.astype(dtype))
-            return self.guide_scale * grad.astype(zt.dtype)
-        grad = jax.grad(
-            lambda z: self.alignment_energy(z, t, avg_x_gt, zc=zc, y=y,
-                                            axis_name=axis_name)
+            return self.guide_scale * low._shift_impl(
+                zt.astype(dtype), t, avg_x_gt, zc_l, y, axis_name
+            ).astype(zt.dtype)
+        return self.guide_scale * self._shift_impl(
+            zt, t, avg_x_gt, zc, y, axis_name)
+
+    def _shift_impl(self, zt, t, avg_x_gt, zc, y, axis_name):
+        # the SAME explicit chain-rule expression serves both paths, so the
+        # sharded and unsharded programs are structurally identical and the
+        # dryrun/test equality is bit-exact (op-order rounding aside, jax's
+        # grad-of-sqrt would emit a different op sequence)
+        sq_local, grad_sq = jax.value_and_grad(
+            lambda z: self._sq_error(z, t, avg_x_gt, zc=zc, y=y)
         )(zt)
-        return self.guide_scale * grad
+        sq_global = (jax.lax.psum(sq_local, axis_name)
+                     if axis_name is not None else sq_local)
+        return grad_sq / (2.0 * jnp.sqrt(sq_global + 1e-24))
 
 
 def get_alignment_kwargs_avg_x(target_seq: jnp.ndarray, multiplier: float = 2.0) -> Dict[str, jnp.ndarray]:

@@ -270,3 +270,51 @@ def test_prefetch_propagates_producer_errors():
     next(it)
     with pytest.raises(RuntimeError, match="bad row"):
         list(it)
+
+
+def test_sharded_guided_sampling_matches_unsharded(tiny_pipeline):
+    """Knowledge-alignment guidance under shard_map: the batch-coupled
+    energy psums across the mesh, and the shift must equal the unsharded
+    one EXACTLY.  Round-5 regression test: grad-through-psum under
+    check_vma=False transposes psum to psum, which inflated the sharded
+    shift by n_devices (8x here) — get_mean_shift now applies the chain
+    rule around the psum explicitly (knowledge_alignment.py::_shift_impl)."""
+    from prediff_tpu.diffusion.knowledge_alignment import KnowledgeAlignment
+    from prediff_tpu.models.alignment import NoisyCuboidTransformerEncoder
+
+    ld, unet_params, vae_params, IN_LEN, IMG = tiny_pipeline
+    OUT_LEN, LAT, LAT_C = ld.latent_shape[0], ld.latent_shape[1], ld.latent_shape[3]
+    align_net = NoisyCuboidTransformerEncoder(
+        input_shape=(OUT_LEN, LAT, LAT, LAT_C), out_channels=1, base_units=8,
+        depth=[1], block_attn_patterns="full", num_heads=2,
+        padding_type="zeros", ffn_activation="gelu", readout_seq=True,
+        out_len=OUT_LEN,
+    )
+    align_params = align_net.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, OUT_LEN, LAT, LAT, LAT_C)),
+        jnp.zeros((1,), jnp.int32))["params"]
+    old_alignment = ld.alignment
+    try:
+        ld.alignment = KnowledgeAlignment(
+            params=align_params, guide_scale=20.0,
+            apply_fn=lambda v, zt, t, zc=None, y=None: align_net.apply(v, zt, t),
+        )
+        ld._jit_cache.clear()
+        mesh = make_mesh()
+        y = jnp.asarray(np.random.RandomState(0).rand(
+            8, IN_LEN, IMG, IMG, 1).astype(np.float32))
+        avg = jnp.full((8, 1), 0.2, jnp.float32)
+        kw = dict(use_alignment=True, alignment_kwargs={"avg_x_gt": avg})
+        rng = jax.random.PRNGKey(1)
+        out_plain = ld.sample(unet_params, vae_params, rng, y, **kw)
+        out_sharded = ld.sample(unet_params, vae_params, rng,
+                                shard_batch(y, mesh), mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(out_sharded),
+                                   np.asarray(out_plain),
+                                   rtol=1e-5, atol=1e-6)
+        # guidance must actually act (otherwise the equality is vacuous)
+        out_unguided = ld.sample(unet_params, vae_params, rng, y)
+        assert float(jnp.abs(out_plain - out_unguided).max()) > 1e-6
+    finally:
+        ld.alignment = old_alignment
+        ld._jit_cache.clear()
