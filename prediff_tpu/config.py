@@ -118,6 +118,17 @@ def optim_default() -> Dict:
         # probe66 measures the win; see EmaTrainState.pack_small_thr.
         pack_small_thr=0,
         matmul_precision=None,
+        # Round-5 opt-ins (VERDICT r4 #4) — STORAGE dtype for optimizer /
+        # EMA state on the diffusion step.  probe70/78 named f32 opt/EMA
+        # HBM traffic as the step's residual cost; these halve it:
+        #   state_dtype: 'bfloat16' stores BOTH Adam moments in bf16
+        #     (per-step arithmetic stays f32 — optim._scale_by_adam_state_dtype)
+        #   ema_dtype: 'bfloat16' stores the EMA shadow in bf16
+        #     (ema_update computes f32, rounds only the store)
+        # Accuracy + speed A/B: scripts/probes/bf16_state_ab.py; defaults
+        # off until the COVERAGE entry records the numbers.
+        state_dtype=None,
+        ema_dtype=None,
         # vae_compute_dtype (VAE-GAN training only): 'bfloat16' runs the
         # autoencoder fwd/bwd with bf16 params+activations (loss math, KL,
         # adaptive weight, discriminator, optimizer all stay f32); 'auto' =

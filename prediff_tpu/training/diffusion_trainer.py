@@ -41,6 +41,7 @@ class DiffusionTrainer:
         matmul_precision: Optional[str] = None,
         conv3d_impl: Optional[str] = None,
         latent_inputs: bool = False,
+        ema_dtype: Optional[str] = None,
     ):
         self.ld = ld
         self.vae_params = vae_params
@@ -75,6 +76,10 @@ class DiffusionTrainer:
         # of the step (see LatentDiffusion.training_loss_from_moments and
         # scripts/precompute_latents.py)
         self.latent_inputs = latent_inputs
+        # 'bfloat16': EMA shadow STORAGE dtype (round-5 opt-in, see
+        # EmaTrainState.ema_dtype; pair with optim_config['state_dtype']
+        # for bf16 Adam moments).  A/B: scripts/probes/bf16_state_ab.py.
+        self.ema_dtype = ema_dtype
         self._train_step = None
         self._val_step = None
 
@@ -101,6 +106,7 @@ class DiffusionTrainer:
         state = EmaTrainState.create(
             params, tx, use_ema=self.use_ema, ema_decay=self.ema_decay,
             flat_update=self.flat_update, pack_small_thr=self.pack_small_thr,
+            ema_dtype=self.ema_dtype,
         )
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))

@@ -17,7 +17,14 @@ def ema_decay(decay: float, num_updates: jnp.ndarray) -> jnp.ndarray:
 
 
 def ema_update(ema_params, new_params, decay: float, num_updates):
+    """Shadow update.  Dtype contract (round-5 ``ema_dtype`` opt-in): the
+    arithmetic runs at the PARAMS dtype (f32 in practice) and the result is
+    cast back to each shadow leaf's own storage dtype — so a bf16-stored
+    shadow still accumulates its per-step increment at full precision and
+    only the final store rounds.  No-op for the default all-f32 state."""
     d = ema_decay(decay, jnp.asarray(num_updates))
     return jax.tree_util.tree_map(
-        lambda e, p: e - (1.0 - d) * (e - p), ema_params, new_params
+        lambda e, p: (e.astype(p.dtype) - (1.0 - d)
+                      * (e.astype(p.dtype) - p)).astype(e.dtype),
+        ema_params, new_params,
     )

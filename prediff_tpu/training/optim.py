@@ -44,6 +44,59 @@ def get_loss_fn(loss: str = "l2"):
     raise NotImplementedError(f"loss '{loss}'")
 
 
+def _scale_by_adam_state_dtype(b1: float, b2: float, eps: float,
+                               state_dtype) -> optax.GradientTransformation:
+    """optax.scale_by_adam with BOTH moments STORED in ``state_dtype``
+    (optax only offers ``mu_dtype``).  Per-step arithmetic is f32 — read
+    moments upcast, update, bias-correct, downcast the store — so the only
+    semantics change is the storage rounding.  Round-5 opt-in (VERDICT r4
+    #4): the diffusion train step's residual HBM traffic is f32 opt/EMA
+    state (probe70/78); bf16 moments halve that component.  Accuracy /
+    speed A/B: scripts/probes/bf16_state_ab.py."""
+    import jax
+    import jax.numpy as jnp
+
+    sdtype = jnp.dtype(state_dtype)
+
+    def _zeros_like(p):
+        # non-f32 leaves (none today) keep their dtype, mirroring mu_dtype
+        return jnp.zeros_like(p, dtype=sdtype if p.dtype == jnp.float32
+                              else p.dtype)
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(_zeros_like, params),
+            nu=jax.tree_util.tree_map(_zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(f32) + (1.0 - b1) * g.astype(f32),
+            state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(f32)
+            + (1.0 - b2) * jnp.square(g.astype(f32)),
+            state.nu, updates)
+        count = optax.safe_int32_increment(state.count)
+        bc1 = 1.0 - b1 ** count.astype(f32)
+        bc2 = 1.0 - b2 ** count.astype(f32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu)
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_map(
+                lambda m, old: m.astype(old.dtype), mu, state.mu),
+            nu=jax.tree_util.tree_map(
+                lambda v, old: v.astype(old.dtype), nu, state.nu),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     lr: float = 1e-3,
     total_num_steps: int = 100_000,
@@ -56,12 +109,24 @@ def build_optimizer(
     min_lr_ratio: float = 1e-3,
     warmup_min_lr_ratio: float = 0.1,
     accum_steps: int = 1,
+    state_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     schedule = build_lr_schedule(
         lr, total_num_steps, warmup_percentage, lr_scheduler_mode,
         min_lr_ratio, warmup_min_lr_ratio,
     )
-    if method == "adamw":
+    if state_dtype is not None:
+        # same chain optax.adamw/adam builds, with the moment storage swapped
+        scaled = _scale_by_adam_state_dtype(betas[0], betas[1], 1e-8,
+                                            state_dtype)
+        if method == "adamw":
+            opt = optax.chain(scaled, optax.add_decayed_weights(wd),
+                              optax.scale_by_learning_rate(schedule))
+        elif method == "adam":
+            opt = optax.chain(scaled, optax.scale_by_learning_rate(schedule))
+        else:
+            raise NotImplementedError(f"optimizer '{method}'")
+    elif method == "adamw":
         opt = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
     elif method == "adam":
         opt = optax.adam(schedule, b1=betas[0], b2=betas[1])

@@ -89,14 +89,28 @@ class EmaTrainState(struct.PyTreeNode):
     # structure, so checkpoints are not interchangeable with the per-leaf
     # layout (same caveat as flat_update).  0 = off.
     pack_small_thr: int = struct.field(pytree_node=False, default=0)
+    # Round-5 opt-in (VERDICT r4 #4): STORAGE dtype for the EMA shadow —
+    # 'bfloat16' halves the shadow's HBM read+write per step.  The update
+    # arithmetic stays f32 (ema_update upcasts), only the store rounds;
+    # with decay 0.9999 a per-step increment below ~2^-9 of the shadow's
+    # magnitude rounds away, so the shadow tracks a slightly LAGGED EMA
+    # (quantization A/B: scripts/probes/bf16_state_ab.py).  Checkpoints
+    # record the dtype via the state itself; not interchangeable with f32
+    # shadows.  None = f32 (reference semantics, utils/ema.py:6).
+    ema_dtype: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, params, tx, use_ema: bool = True, ema_decay: float = 0.9999,
-               flat_update: bool = False, pack_small_thr: int = 0):
+               flat_update: bool = False, pack_small_thr: int = 0,
+               ema_dtype: Optional[str] = None):
         import jax.numpy as jnp
 
         if flat_update and pack_small_thr:
             raise ValueError("flat_update and pack_small_thr are exclusive")
+        if ema_dtype is not None and (flat_update or pack_small_thr):
+            # ravel/concat would silently upcast the low-precision shadow
+            raise ValueError("ema_dtype is incompatible with flat_update / "
+                             "pack_small_thr")
         # own copies throughout: train steps donate the state, which would
         # otherwise delete buffers the caller (or a sibling state) still holds
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
@@ -114,6 +128,9 @@ class EmaTrainState(struct.PyTreeNode):
                 jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
                 _small_mask(params, pack_small_thr),
             )
+        elif ema_dtype is not None:
+            ema = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=jnp.dtype(ema_dtype)), params)
         else:
             # real copies — params/ema must not alias or buffer donation breaks
             ema = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
@@ -127,6 +144,7 @@ class EmaTrainState(struct.PyTreeNode):
             use_ema=use_ema,
             flat_update=flat_update,
             pack_small_thr=pack_small_thr,
+            ema_dtype=ema_dtype,
         )
 
     def pack_like(self, tree):
@@ -138,8 +156,14 @@ class EmaTrainState(struct.PyTreeNode):
 
     def ema_param_tree(self):
         """EMA shadow params as a params-shaped pytree (unpacks the stored
-        packed form in pack_small_thr mode; identity otherwise)."""
-        if self.ema_params is None or not self.pack_small_thr:
+        packed form in pack_small_thr mode; upcasts a low-precision shadow
+        back to each param's dtype; identity otherwise)."""
+        if self.ema_params is None:
+            return None
+        if self.ema_dtype is not None:
+            return jax.tree_util.tree_map(
+                lambda e, p: e.astype(p.dtype), self.ema_params, self.params)
+        if not self.pack_small_thr:
             return self.ema_params
         leaves, treedef = jax.tree_util.tree_flatten(self.params)
         mask = _small_mask(self.params, self.pack_small_thr)

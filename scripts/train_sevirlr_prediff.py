@@ -147,6 +147,7 @@ def main():
             min_lr_ratio=cfg.optim.min_lr_ratio,
             warmup_min_lr_ratio=cfg.optim.warmup_min_lr_ratio,
             accum_steps=accum,
+            state_dtype=cfg.optim.get("state_dtype", None),
         ),
         use_ema=cfg.model.diffusion.use_ema,
         mesh=mesh,
@@ -158,6 +159,7 @@ def main():
         matmul_precision=cfg.optim.get("matmul_precision", None),
         conv3d_impl=cfg.optim.get("conv3d_impl", "auto"),
         latent_inputs=args.latents is not None,
+        ema_dtype=cfg.optim.get("ema_dtype", None),
     )
 
     in_slice, out_slice = layout_to_in_out_slice(
