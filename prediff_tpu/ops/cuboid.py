@@ -33,76 +33,67 @@ def update_cuboid_size_shift_size(data_shape, cuboid_size, shift_size, strategy)
     return tuple(new_cuboid_size), tuple(new_shift_size)
 
 
-def _reorder_axes(cuboid_size, sizes, strategy):
-    """Shared axis bookkeeping for the local ('l') / dilated ('d') split."""
-    intermediate_shape = []
-    nblock_axis = []
-    block_axis = []
-    for i, (block_size, total_size, ele_strategy) in enumerate(
-        zip(cuboid_size, sizes, strategy)
-    ):
-        if ele_strategy == "l":
-            intermediate_shape.extend([total_size // block_size, block_size])
-            nblock_axis.append(2 * i + 1)
-            block_axis.append(2 * i + 2)
-        elif ele_strategy == "d":
-            intermediate_shape.extend([block_size, total_size // block_size])
-            nblock_axis.append(2 * i + 2)
-            block_axis.append(2 * i + 1)
+def _split_plan(cuboid_size, sizes, strategy):
+    """Plan the 8-D view of (B, T, H, W, C) that separates cuboid counters
+    from within-cuboid offsets.
+
+    Each spatial axis reshapes into an (outer, inner) pair.  Under 'l'
+    (local) the cuboid counter is the OUTER factor — a cuboid is a
+    contiguous block.  Under 'd' (dilated) the counter is the INNER factor —
+    a cuboid gathers strided positions (stride = n_cuboids along that axis).
+
+    Returns (split_shape, perm) where ``split_shape`` is the 8-D view shape
+    and ``perm`` moves all counter dims in front of all offset dims, i.e.
+    ``x.reshape(split_shape).transpose(perm)`` has shape
+    (B, n_t, n_h, n_w, b_t, b_h, b_w, C).
+    """
+    split_shape = [None] * 8
+    counter_dims, offset_dims = [], []
+    split_shape[0], split_shape[7] = -1, -1  # B, C filled by caller
+    for ax, (block, total, how) in enumerate(zip(cuboid_size, sizes, strategy)):
+        lo, hi = 2 * ax + 1, 2 * ax + 2
+        if how == "l":
+            split_shape[lo], split_shape[hi] = total // block, block
+            counter_dims.append(lo)
+            offset_dims.append(hi)
+        elif how == "d":
+            split_shape[lo], split_shape[hi] = block, total // block
+            counter_dims.append(hi)
+            offset_dims.append(lo)
         else:
-            raise NotImplementedError(f"strategy '{ele_strategy}'")
-    return intermediate_shape, nblock_axis, block_axis
+            raise NotImplementedError(f"strategy '{how}'")
+    perm = (0, *counter_dims, *offset_dims, 7)
+    return split_shape, perm
 
 
 def cuboid_reorder(data, cuboid_size, strategy):
     """(B, T, H, W, C) -> (B, num_cuboids, cuboid_volume, C).
 
     Shapes must be divisible by the cuboid sizes (pad first).
-    Works for both jnp and np arrays.
+    Works for both jnp and np arrays; pure reshape+transpose, so XLA fuses
+    it into neighbors for free.
     """
     B, T, H, W, C = data.shape
-    num_cuboids = (T // cuboid_size[0]) * (H // cuboid_size[1]) * (W // cuboid_size[2])
-    cuboid_volume = cuboid_size[0] * cuboid_size[1] * cuboid_size[2]
-    intermediate_shape, nblock_axis, block_axis = _reorder_axes(
-        cuboid_size, (T, H, W), strategy
-    )
-    data = data.reshape((B,) + tuple(intermediate_shape) + (C,))
-    perm = (0,) + tuple(nblock_axis) + tuple(block_axis) + (7,)
-    data = data.transpose(perm)
-    return data.reshape((B, num_cuboids, cuboid_volume, C))
+    split_shape, perm = _split_plan(cuboid_size, (T, H, W), strategy)
+    split_shape[0], split_shape[7] = B, C
+    x = data.reshape(tuple(split_shape)).transpose(perm)
+    volume = cuboid_size[0] * cuboid_size[1] * cuboid_size[2]
+    return x.reshape((B, (T * H * W) // volume, volume, C))
 
 
 def cuboid_reorder_reverse(data, cuboid_size, strategy, orig_data_shape):
-    """Inverse of :func:`cuboid_reorder`."""
+    """Inverse of :func:`cuboid_reorder` — derived mechanically by inverting
+    the forward permutation (argsort) rather than re-casing on strategy."""
     B, num_cuboids, cuboid_volume, C = data.shape
     T, H, W = orig_data_shape
-    permutation_axis = [0]
-    for i, (block_size, total_size, ele_strategy) in enumerate(
-        zip(cuboid_size, (T, H, W), strategy)
-    ):
-        if ele_strategy == "l":
-            permutation_axis.append(i + 1)
-            permutation_axis.append(i + 4)
-        elif ele_strategy == "d":
-            permutation_axis.append(i + 4)
-            permutation_axis.append(i + 1)
-        else:
-            raise NotImplementedError(f"strategy '{ele_strategy}'")
-    permutation_axis.append(7)
-    data = data.reshape(
-        (
-            B,
-            T // cuboid_size[0],
-            H // cuboid_size[1],
-            W // cuboid_size[2],
-            cuboid_size[0],
-            cuboid_size[1],
-            cuboid_size[2],
-            C,
-        )
-    )
-    data = data.transpose(tuple(permutation_axis))
-    return data.reshape((B, T, H, W, C))
+    split_shape, fwd_perm = _split_plan(cuboid_size, (T, H, W), strategy)
+    split_shape[0], split_shape[7] = B, C
+    # forward produced (B, counters..., offsets..., C); undo its reshape,
+    # then apply the inverse permutation to recover the 8-D split view
+    counters_then_offsets = tuple(split_shape[d] for d in fwd_perm)
+    inv_perm = tuple(int(i) for i in np.argsort(fwd_perm))
+    x = data.reshape(counters_then_offsets).transpose(inv_perm)
+    return x.reshape((B, T, H, W, C))
 
 
 @functools.lru_cache(maxsize=None)
@@ -147,29 +138,31 @@ def compute_cuboid_self_attention_mask(
         data_mask = cuboid_reorder(data_mask, cuboid_size, strategy=strategy)
         data_mask = data_mask[0, :, :, 0]  # (num_cuboids, cuboid_volume)
 
-    # Swin-style region ids: cells in the same pre-shift region may attend.
-    shift_mask = np.zeros((1, T + pad_t, H + pad_h, W + pad_w, 1), dtype=np.float64)
-    cnt = 0
-    for t in (
-        slice(-cuboid_size[0]),
-        slice(-cuboid_size[0], -shift_size[0]),
-        slice(-shift_size[0], None),
-    ):
-        for h in (
-            slice(-cuboid_size[1]),
-            slice(-cuboid_size[1], -shift_size[1]),
-            slice(-shift_size[1], None),
-        ):
-            for w in (
-                slice(-cuboid_size[2]),
-                slice(-cuboid_size[2], -shift_size[2]),
-                slice(-shift_size[2], None),
-            ):
-                shift_mask[:, t, h, w, :] = cnt
-                cnt += 1
-    shift_mask = cuboid_reorder(shift_mask, cuboid_size, strategy=strategy)
-    shift_mask = shift_mask[0, :, :, 0]  # (num_cuboids, cuboid_volume)
-    attn_mask = (shift_mask[:, None, :] - shift_mask[:, :, None]) == 0
+    # Swin-style region ids, built per axis and combined (vectorized
+    # re-derivation of the classic triple-slice loop): along a shifted axis
+    # of padded length S, cells fall into three bands —
+    #   [0, S-b)   the windows untouched by the wrap,
+    #   [S-b, S-s) the last window's un-wrapped part,
+    #   [S-s, S)   the wrapped tail.
+    # Two cells may attend only if they share the band on EVERY axis (same
+    # pre-roll window).  An unshifted axis is a single band: for 'l' its
+    # windows never mix bands anyway, and a dilated ('d') axis — which is
+    # never shifted — strides across the whole axis, so band splits there
+    # would spuriously mask.
+    def _band_ids(size: int, block: int, shift: int) -> np.ndarray:
+        ids = np.zeros(size, dtype=np.int64)
+        if shift > 0:
+            ids[size - block:] = 1
+            ids[size - shift:] = 2
+        return ids
+
+    tb = _band_ids(T + pad_t, cuboid_size[0], shift_size[0])
+    hb = _band_ids(H + pad_h, cuboid_size[1], shift_size[1])
+    wb = _band_ids(W + pad_w, cuboid_size[2], shift_size[2])
+    region = (tb[:, None, None] * 9 + hb[None, :, None] * 3 + wb[None, None, :])
+    region = cuboid_reorder(region[None, ..., None], cuboid_size,
+                            strategy=strategy)[0, :, :, 0]
+    attn_mask = region[:, None, :] == region[:, :, None]
     if padding_type == "ignore":
         attn_mask = data_mask[:, None, :] * data_mask[:, :, None] * attn_mask
     return np.ascontiguousarray(attn_mask)
