@@ -77,9 +77,13 @@ def main():
     align = ld.alignment.replace(params=align_params)
     ts = jnp.arange(M - 1, -1, -1, dtype=jnp.int32)
 
-    def chain(rng, k, use_alignment):
+    def chain(rng, unet_params, align_params, vae_params, k, use_alignment):
         """Reverse chain via ld._p_sample_step; collects shift diagnostics.
-        Same rng => identical per-step noise across k values (fold by t)."""
+        Same rng => identical per-step noise across k values (fold by t).
+        Params are ARGUMENTS, not closures: closed-over arrays become HLO
+        constants, and at v1 scale the serialized graph then exceeds the
+        relay compile endpoint's request-size limit (HTTP 413)."""
+        align = ld.alignment.replace(params=align_params)
         zc = ld.cond_stage_forward(vae_params, y)
         rng_init, rng_loop = jax.random.split(rng)
         z0 = jax.random.normal(rng_init, (1,) + ld.latent_shape, jnp.float32)
@@ -104,19 +108,32 @@ def main():
             body, (z0, jnp.ones_like(z0), jnp.zeros_like(z0)), ts)
         return z_fin, cum, coss
 
-    @jax.jit
+    # one jit per chain (a third of the graph per compile request) with the
+    # param trees passed as arguments
+    chain_jit = jax.jit(chain, static_argnums=(4, 5))
+
     def run(rng):
-        z1, cum1, cos1 = chain(rng, 1, True)
-        z2, cum2, _ = chain(rng, 2, True)
-        zu, _, _ = chain(rng, 1, False)
-        rel = lambda a, b: jnp.linalg.norm((a - b).reshape(-1)) / jnp.maximum(  # noqa: E731
-            jnp.linalg.norm(b.reshape(-1)), 1e-30)
+        print("compiling/running k=1 guided chain...", flush=True)
+        z1, cum1, cos1 = chain_jit(rng, unet_params, align_params,
+                                   vae_params, 1, True)
+        z1, cum1, cos1 = map(np.asarray, (z1, cum1, cos1))
+        print("compiling/running k=2 guided chain...", flush=True)
+        z2, cum2, _ = chain_jit(rng, unet_params, align_params,
+                                vae_params, 2, True)
+        z2, cum2 = np.asarray(z2), np.asarray(cum2)
+        print("compiling/running unguided chain...", flush=True)
+        zu, _, _ = chain_jit(rng, unet_params, align_params,
+                             vae_params, 1, False)
+        zu = np.asarray(zu)
+        rel = lambda a, b: (np.linalg.norm((a - b).reshape(-1))  # noqa: E731
+                            / max(np.linalg.norm(b.reshape(-1)), 1e-30))
+        cosn = lambda a, b: float(_cos(jnp.asarray(a), jnp.asarray(b)))  # noqa: E731
         return dict(
             adj_cos=cos1[1:],                     # drop the prev=ones warmup
-            cum_cos=_cos(cum2, cum1),
-            cum_ratio=(jnp.linalg.norm(cum2.reshape(-1))
-                       / jnp.maximum(jnp.linalg.norm(cum1.reshape(-1)), 1e-30)),
-            final_cos=_cos(z2, z1),
+            cum_cos=cosn(cum2, cum1),
+            cum_ratio=(np.linalg.norm(cum2.reshape(-1))
+                       / max(np.linalg.norm(cum1.reshape(-1)), 1e-30)),
+            final_cos=cosn(z2, z1),
             rel_k2=rel(z2, z1),
             rel_unguided=rel(zu, z1),
         )

@@ -12,6 +12,22 @@ from prediff_tpu.diffusion.schedule import make_gaussian_schedule
 LAT = (2, 4, 4, 2)
 
 
+def _linear_align(c, guide, T=4):
+    """Alignment with an analytically known mean shift, built through the
+    SUPPORTED surface (apply_fn — the reference's alignment_fn, sevir.py:55):
+    apply_fn returns m = c*sum(z) replicated over (B,T,1); the module's own
+    mean/sq/sqrt tail then yields (avg_x_gt = 0)
+
+        E = sqrt((m - 0)^2 + eps) ~= |m|,   dE/dz = sign(m) * c
+
+    so get_mean_shift == guide * c * sign(sum(z)) everywhere (eps = 1e-24 is
+    ~23 orders below the m^2 these tests produce)."""
+    return KnowledgeAlignment(
+        params={}, guide_scale=guide,
+        apply_fn=lambda v, zt, t, zc=None, y=None:
+            c * jnp.sum(zt) * jnp.ones((zt.shape[0], T, 1), zt.dtype))
+
+
 def make_stub_ld(timesteps=6, alignment=None, eps_value=0.0):
     """LatentDiffusion whose 'UNet' predicts a constant eps and whose 'VAE'
     is the identity (latent == pixel)."""
@@ -67,28 +83,22 @@ def test_sampler_matches_manual_recursion():
 
 
 def test_guidance_mean_shift_analytic():
-    """Energy = c * sum(z) has gradient c everywhere, so each guided step's
-    mean shifts by exactly -exp(0.5 logvar) * guide_scale * c."""
+    """An apply_fn returning m = c*sum(z) (replicated over T) drives the
+    module's own sq/sqrt tail to E = sqrt((m-0)^2 + eps) ~= |m|, whose
+    gradient is sign(m)*c everywhere — so each guided step's mean shifts by
+    exactly -exp(0.5 logvar) * guide_scale * c * sign(sum(z)).  (Round 5:
+    the analytic alignment is crafted through the SUPPORTED surface —
+    apply_fn, the reference's alignment_fn — because get_mean_shift now
+    differentiates the pre-psum squared error, not alignment_energy.)"""
     c = 0.07
     guide = 3.0
 
-    def align_apply(variables, zt, t, zc=None, y=None):
-        # U whose mean over T then L2 norm gives energy c*sum(z): easiest is
-        # to bypass and craft energy directly via a linear readout:
-        return zt  # unused; energy overridden below
-
-    align = KnowledgeAlignment(params={}, guide_scale=guide, apply_fn=align_apply)
-
-    # monkeypatch-style: subclass overriding the energy
-    class LinearAlign(KnowledgeAlignment):
-        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
-                             axis_name=None):
-            return c * jnp.sum(zt)
-
-    align = LinearAlign(params={}, guide_scale=guide, apply_fn=align_apply)
+    align = _linear_align(c, guide)
     zt = jnp.asarray(np.random.RandomState(0).randn(1, *LAT).astype(np.float32))
+    s = float(np.sign(np.asarray(zt).sum()))
     shift = align.get_mean_shift(zt, jnp.array([2]), jnp.zeros((1, 1)))
-    np.testing.assert_allclose(np.asarray(shift), guide * c, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(shift), guide * c * s, rtol=1e-6)
+    c = c * s  # the effective constant-gradient magnitude below
 
     # and through p_sample: guided mean == unguided mean - exp(.5 logv)*shift
     ld = make_stub_ld(alignment=align)
@@ -129,16 +139,11 @@ def test_guidance_every_k_semantics():
     unguided step exactly; k=1 is the reference behavior bit-for-bit."""
     c, guide = 0.07, 3.0
 
-    class LinearAlign(KnowledgeAlignment):
-        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
-                             axis_name=None):
-            return c * jnp.sum(zt)
-
-    align = LinearAlign(params={}, guide_scale=guide,
-                        apply_fn=lambda v, zt, t, zc=None, y=None: zt)
+    align = _linear_align(c, guide)
     ld = make_stub_ld(alignment=align)
     sch = ld.schedule
     z = jnp.asarray(np.random.RandomState(1).randn(1, *LAT).astype(np.float32))
+    c = c * float(np.sign(np.asarray(z).sum()))  # effective gradient
     rng = jax.random.PRNGKey(0)
     gt = jnp.zeros((1, 1))
     k = 3
@@ -174,8 +179,7 @@ def test_guidance_every_k_semantics():
                      alignment_kwargs={"avg_x_gt": gt}, return_decoded=False,
                      guidance_every_k=2)
     assert (np.asarray(g_k2) != np.asarray(g_k1)).any()
-    zero = LinearAlign(params={}, guide_scale=0.0,
-                       apply_fn=lambda v, zt, t, zc=None, y=None: zt)
+    zero = _linear_align(0.05, guide=0.0)
     ld0 = make_stub_ld(alignment=zero)
     u = ld0.sample(None, None, rng, y, return_decoded=False)
     for kk_ in (1, 2):
@@ -190,13 +194,7 @@ def test_guidance_every_k_ddim():
     """DDIM path: idx % k gating, k=1 == reference, scale=0 == unguided."""
     c, guide = 0.05, 2.0
 
-    class LinearAlign(KnowledgeAlignment):
-        def alignment_energy(self, zt, t, avg_x_gt, zc=None, y=None,
-                             axis_name=None):
-            return c * jnp.sum(zt)
-
-    align = LinearAlign(params={}, guide_scale=guide,
-                        apply_fn=lambda v, zt, t, zc=None, y=None: zt)
+    align = _linear_align(c, guide)
     ld = make_stub_ld(timesteps=8, alignment=align)
     y = jnp.zeros((1,) + LAT)
     rng = jax.random.PRNGKey(3)
