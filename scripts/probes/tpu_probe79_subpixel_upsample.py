@@ -1,0 +1,211 @@
+"""Round-5 probe (VERDICT r4 #8): the VAE decoder's algorithmic lever —
+sub-pixel reformulations of Upsample2D (nearest x2 + 3x3 conv, ref
+taming/resnet.py:60-143).
+
+probe76/77 closed the kernel/compiler threads: the 128x128x(128|256)ch convs
+run at a 61.5%-of-bf16-peak XLA ceiling and no Pallas kernel or XLA-level
+rewrite beats it.  The remaining lever is ALGEBRAIC: nearest-x2 upsample
+duplicates every input pixel, so the 3x3 conv at 128^2 redundantly
+recomputes taps.  Two exact reformulations compute the SAME function at
+64^2 where XLA's emitter is near-roofline (75-83% at the 512-channel
+stages, probe76):
+
+  baseline  nearest x2 -> conv3x3 @ (2H)^2, C -> C          (9 C^2 MACs/out px)
+  v_dense   conv3x3 @ H^2, C -> 4C, depth-to-space          (9 C^2, better shape)
+  v_shift   pad(1,1) -> VALID conv2x2 @ (H+1)^2, C -> 4C,
+            phase-shifted interleave                         (4 C^2  = 2.25x fewer)
+
+Both variants build their packed kernel from the STANDARD (3,3,Cin,Cout)
+kernel by a trace-time scatter, so the param tree (and torch-checkpoint
+convertibility) is unchanged; grads flow through the scatter back to the
+3x3 kernel.
+
+Packing math (rows; cols identical): output row r = 2i+a taps
+x_up(r+di) = x(i + floor((a+di)/2)), di in {-1,0,1}:
+  a=0 -> rows {i-1, i}   with row-kernel [W-1, W0+W+1]
+  a=1 -> rows {i,   i+1} with row-kernel [W-1+W0, W+1]
+i.e. every phase's 2x2 window is anchored at (i-1+a, j-1+b) — one VALID
+2x2 conv on the (1,1)-padded input evaluated at (H+1)x(W+1) positions
+serves all four phases via shifted slices (v_shift).
+
+Run:   python scripts/probes/tpu_probe79_subpixel_upsample.py
+CPU exactness only:  P79_CPU=1 python scripts/probes/tpu_probe79_subpixel_upsample.py
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                ("NHWC", "HWIO", "NHWC"))
+
+
+def nearest_up2(x):
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def baseline(x, k, b):
+    y = lax.conv_general_dilated(nearest_up2(x), k, (1, 1),
+                                 ((1, 1), (1, 1)), dimension_numbers=DN)
+    return y + b
+
+
+def _phase_row_kernels(k):
+    """k: (3,3,Cin,Cout) -> per-phase 2x2 kernels P[a][b]: (2,2,Cin,Cout)."""
+    # row combination: phase 0 -> [W-1, W0+W+1]; phase 1 -> [W-1+W0, W+1]
+    r0 = jnp.stack([k[0], k[1] + k[2]], axis=0)          # (2,3,Ci,Co)
+    r1 = jnp.stack([k[0] + k[1], k[2]], axis=0)
+    out = []
+    for ra in (r0, r1):
+        c0 = jnp.stack([ra[:, 0], ra[:, 1] + ra[:, 2]], axis=1)   # (2,2,Ci,Co)
+        c1 = jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1)
+        out.append((c0, c1))
+    return out
+
+
+def v_dense(x, k, b):
+    """One 3x3 conv at low res, Cout = 4C, then phase interleave.
+
+    The 3x3 packed kernel embeds each phase's 2x2 kernel at the row/col
+    offsets that phase actually reads (rows {0,1} for a=0, {1,2} for a=1),
+    zeros elsewhere — same MAC count as baseline, MXU-friendlier shape."""
+    P = _phase_row_kernels(k)
+    Ci, Co = k.shape[2], k.shape[3]
+    kp = jnp.zeros((3, 3, Ci, 4 * Co), k.dtype)
+    for a in (0, 1):
+        for bb in (0, 1):
+            sl = (slice(a, a + 2), slice(bb, bb + 2), slice(None),
+                  slice((a * 2 + bb) * Co, (a * 2 + bb + 1) * Co))
+            kp = kp.at[sl].set(P[a][bb])
+    s = lax.conv_general_dilated(x, kp, (1, 1), ((1, 1), (1, 1)),
+                                 dimension_numbers=DN)
+    B, H, W, _ = s.shape
+    s = s.reshape(B, H, W, 2, 2, Co)
+    y = s.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, Co)
+    return y + b
+
+
+def v_shift(x, k, b):
+    """One VALID 2x2 conv on the (1,1)-padded input -> (H+1, W+1, 4C);
+    phase (a,b) reads its channel group at spatial offset (a, b)."""
+    P = _phase_row_kernels(k)
+    Co = k.shape[3]
+    kp = jnp.concatenate([P[0][0], P[0][1], P[1][0], P[1][1]], axis=-1)
+    s = lax.conv_general_dilated(x, kp, (1, 1), ((1, 1), (1, 1)),
+                                 dimension_numbers=DN)  # (B, H+1, W+1, 4C)
+    B, H, W, C = x.shape
+    ph = [s[:, a:a + H, bb:bb + W, (a * 2 + bb) * Co:(a * 2 + bb + 1) * Co]
+          for a in (0, 1) for bb in (0, 1)]
+    y = jnp.stack(ph, axis=3).reshape(B, H, W, 2, 2, Co)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, Co)
+    return y + b
+
+
+VARIANTS = {"baseline": baseline, "v_dense": v_dense, "v_shift": v_shift}
+
+
+def check_exactness():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 9, 11, 8).astype(np.float32))
+    k = jnp.asarray(rs.randn(3, 3, 8, 16).astype(np.float32))
+    b = jnp.asarray(rs.randn(16).astype(np.float32))
+    ref = np.asarray(baseline(x, k, b))
+    ok = True
+    for name in ("v_dense", "v_shift"):
+        got = np.asarray(VARIANTS[name](x, k, b))
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-30)
+        print(f"exactness {name}: max rel {err:.2e}", flush=True)
+        ok &= err < 1e-5
+    # grads through the kernel scatter
+    loss = lambda fn, k_: jnp.sum(fn(x, k_, b) ** 2)  # noqa: E731
+    gref = np.asarray(jax.grad(functools.partial(loss, baseline))(k))
+    for name in ("v_dense", "v_shift"):
+        g = np.asarray(jax.grad(functools.partial(loss, VARIANTS[name]))(k))
+        err = np.abs(g - gref).max() / max(np.abs(gref).max(), 1e-30)
+        print(f"grad exactness {name}: max rel {err:.2e}", flush=True)
+        ok &= err < 1e-4
+    print("EXACTNESS", "PASS" if ok else "FAIL", flush=True)
+    return ok
+
+
+def bench():
+    # decoder shapes, SEVIR-LR v1 (block_out_channels [128,256,512,512]):
+    #   up2 upsampler: (BT, 64, 64, 256)  -> 128^2   <- the 61.5%-ceiling one
+    #   up1 upsampler: (BT, 32, 32, 512)  -> 64^2    (near-roofline control)
+    BT = int(os.environ.get("P79_BT", "32"))
+    shapes = [("up2", (BT, 64, 64, 256)), ("up1", (BT, 32, 32, 512))]
+    N = int(os.environ.get("P79_N", "30"))
+
+    def timed(fn, x, k, b, mode):
+        if mode == "fwd":
+            def step(c, _):
+                y = fn(x + c, k, b)
+                return jnp.mean(y), None
+        else:  # fwd+bwd wrt x and k (the training cost)
+            def vloss(args):
+                xx, kk = args
+                return jnp.sum(fn(xx, kk, b) ** 2) * 1e-6
+            def step(c, _):
+                g = jax.grad(vloss)((x + c, k))
+                return jnp.mean(g[0]) + jnp.mean(g[1]), None
+        @jax.jit
+        def run(x, k, b):
+            out, _ = lax.scan(step, jnp.float32(0), None, length=N)
+            return out
+        run(x, k, b).block_until_ready()      # compile + warmup
+        t0 = time.perf_counter()
+        float(np.asarray(run(x, k, b)))
+        return (time.perf_counter() - t0) / N * 1e3
+
+    rs = np.random.RandomState(1)
+    print(f"BT={BT} N={N} dtype=bf16 (training compute dtype)", flush=True)
+    # warmup case (CLAUDE.md rule 4: first timed case eats one-time staging)
+    _ = timed(baseline, jnp.ones((8, 32, 32, 128), jnp.bfloat16),
+              jnp.ones((3, 3, 128, 128), jnp.bfloat16),
+              jnp.zeros((128,), jnp.bfloat16), "fwd")
+    for tag, shp in shapes:
+        C = shp[-1]
+        x = jnp.asarray(rs.randn(*shp).astype(np.float32), jnp.bfloat16)
+        k = jnp.asarray((rs.randn(3, 3, C, C) * 0.05).astype(np.float32),
+                        jnp.bfloat16)
+        b = jnp.zeros((C,), jnp.bfloat16)
+        flops = 2 * 9 * C * C * (2 * shp[1]) ** 2 * shp[0]
+        for mode in ("fwd", "grad"):
+            base_ms = None
+            for name, fn in VARIANTS.items():
+                ms = timed(fn, x, k, b, mode)
+                eff_flops = flops * (3 if mode == "grad" else 1)
+                tf = eff_flops / (ms * 1e-3) / 1e12
+                note = ""
+                if name == "baseline":
+                    base_ms = ms
+                else:
+                    note = f"  speedup {base_ms / ms:.3f}x"
+                print(f"{tag} {mode:4s} {name:8s}: {ms:7.3f} ms  "
+                      f"({tf:6.1f} TF/s-equiv){note}", flush=True)
+
+
+def main():
+    from prediff_tpu.utils.platform import respect_jax_platforms_env
+    if os.environ.get("P79_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    respect_jax_platforms_env()
+    print("backend:", jax.default_backend(), flush=True)
+    if not check_exactness():
+        sys.exit(1)
+    if jax.default_backend() != "cpu":
+        bench()
+    print("probe done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
