@@ -233,6 +233,10 @@ def vae_default() -> Dict:
         norm_num_groups=32,
         layers_per_block=2,
         out_channels=1,
+        # False / True / "auto" (real TPU only): sub-pixel decoder
+        # upsamplers — exact reformulation, 2.25x fewer upsampler MACs
+        # (ops/subpixel.py; probe79).  Param tree unchanged.
+        decoder_subpixel=False,
     )
 
 

@@ -1,0 +1,81 @@
+"""Sub-pixel (low-resolution) reformulation of the VAE decoder upsampler.
+
+The reference Upsample2D (taming/resnet.py:60-143) is nearest-x2 upsample
+followed by a 3x3 conv at the DOUBLED resolution.  Nearest upsampling
+duplicates every input pixel, so that conv redundantly multiplies each
+input value by several kernel taps; algebraically the whole op is a 2x2
+conv per output phase at the ORIGINAL resolution (probe79 derivation):
+
+  output row r = 2i+a taps x_up(r+di) = x(i + floor((a+di)/2)), di in
+  {-1,0,1}, giving per-phase row kernels [W-1, W0+W+1] (a=0) and
+  [W-1+W0, W+1] (a=1) anchored at i-1+a — and identically for columns.
+
+``subpixel_upsample_conv`` evaluates ONE valid 2x2 conv with 4*Cout output
+channels on the (1,1)-zero-padded input — (H+1, W+1) positions serve all
+four phases via shifted slices — then interleaves phases to (2H, 2W, Cout).
+This computes the EXACT same function as nearest-x2 + conv3x3 (probe79
+exactness: 3e-7 fwd / 3e-7 kernel-grad rel on CPU f32) with 2.25x fewer
+MACs, and moves the conv to a 4x-wider-channel shape where XLA's TPU conv
+emitter is near-roofline (probe76: 75-83% of bf16 peak at the 512-channel
+stages vs 61.5% at 128x128x(128|256)ch).
+
+The caller keeps the standard flax ``nn.Conv`` parameter layout
+(kernel (3,3,Cin,Cout), bias (Cout,)); the packed kernel is built here by a
+trace-time weight-space transform, so torch-checkpoint conversion
+(utils/convert.py) and the param tree are untouched, and gradients flow
+through the packing back to the 3x3 kernel.
+"""
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                 ("NHWC", "HWIO", "NHWC"))
+
+
+def pack_upsample_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Cin,Cout) 3x3 kernel -> (2,2,Cin,4*Cout) packed per-phase kernel.
+
+    Channel group g = 2*a + b holds output phase (row-parity a, col-parity
+    b).  Tap sums are formed in f32 and cast back (one rounding on the
+    weights, not per-output-element)."""
+    k = kernel.astype(jnp.float32)
+    # rows: phase 0 -> [W-1, W0+W+1]; phase 1 -> [W-1+W0, W+1]
+    r0 = jnp.stack([k[0], k[1] + k[2]], axis=0)        # (2,3,Ci,Co)
+    r1 = jnp.stack([k[0] + k[1], k[2]], axis=0)
+    groups = []
+    for ra in (r0, r1):
+        c0 = jnp.stack([ra[:, 0], ra[:, 1] + ra[:, 2]], axis=1)  # (2,2,Ci,Co)
+        c1 = jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1)
+        groups.extend([c0, c1])
+    return jnp.concatenate(groups, axis=-1).astype(kernel.dtype)
+
+
+def subpixel_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: jnp.ndarray) -> jnp.ndarray:
+    """Exact nearest-x2-then-conv3x3, computed at the input resolution.
+
+    x: (B, H, W, Cin); kernel: (3,3,Cin,Cout); bias: (Cout,).
+    Returns (B, 2H, 2W, Cout)."""
+    B, H, W, _ = x.shape
+    co = kernel.shape[3]
+    kp = pack_upsample_kernel(kernel)
+    s = lax.conv_general_dilated(x, kp, (1, 1), ((1, 1), (1, 1)),
+                                 dimension_numbers=_DN)  # (B, H+1, W+1, 4Co)
+    # phase (a,b)'s 2x2 window is anchored at (i-1+a, j-1+b): group g=2a+b
+    # lives at spatial offset (a, b) of the padded conv output.
+    ph = [s[:, a:a + H, b:b + W, (2 * a + b) * co:(2 * a + b + 1) * co]
+          for a in (0, 1) for b in (0, 1)]
+    y = jnp.stack(ph, axis=3).reshape(B, H, W, 2, 2, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, co)
+    return y + bias.astype(y.dtype)
+
+
+def upsample_conv_flops(shape: Tuple[int, ...], cout: int,
+                        subpixel: bool) -> int:
+    """MAC count for one upsampler at input ``shape`` (B,H,W,Cin)."""
+    b, h, w, cin = shape
+    taps = 4 if subpixel else 9
+    area = (h + 1) * (w + 1) if subpixel else (2 * h) * (2 * w)
+    return b * area * taps * cin * cout

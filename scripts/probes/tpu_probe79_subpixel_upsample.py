@@ -114,6 +114,13 @@ VARIANTS = {"baseline": baseline, "v_dense": v_dense, "v_shift": v_shift}
 
 
 def check_exactness():
+    # On TPU the terminal compiles with --xla_allow_excess_precision=true:
+    # "f32" convs run bf16 MXU multiplies, so tap-sum reassociation shifts
+    # rounding at the ~1e-3 bf16 level (CLAUDE.md round-4 findings).  True
+    # exactness is established by the CPU f32 run (3e-7); on TPU we only
+    # assert the bf16-rounding bound.
+    tol_f, tol_g = (1e-5, 1e-4) if jax.default_backend() == "cpu" \
+        else (5e-3, 5e-3)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randn(2, 9, 11, 8).astype(np.float32))
     k = jnp.asarray(rs.randn(3, 3, 8, 16).astype(np.float32))
@@ -124,7 +131,7 @@ def check_exactness():
         got = np.asarray(VARIANTS[name](x, k, b))
         err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-30)
         print(f"exactness {name}: max rel {err:.2e}", flush=True)
-        ok &= err < 1e-5
+        ok &= err < tol_f
     # grads through the kernel scatter
     loss = lambda fn, k_: jnp.sum(fn(x, k_, b) ** 2)  # noqa: E731
     gref = np.asarray(jax.grad(functools.partial(loss, baseline))(k))
@@ -132,7 +139,7 @@ def check_exactness():
         g = np.asarray(jax.grad(functools.partial(loss, VARIANTS[name]))(k))
         err = np.abs(g - gref).max() / max(np.abs(gref).max(), 1e-30)
         print(f"grad exactness {name}: max rel {err:.2e}", flush=True)
-        ok &= err < 1e-4
+        ok &= err < tol_g
     print("EXACTNESS", "PASS" if ok else "FAIL", flush=True)
     return ok
 
@@ -148,15 +155,17 @@ def bench():
     def timed(fn, x, k, b, mode):
         if mode == "fwd":
             def step(c, _):
-                y = fn(x + c, k, b)
-                return jnp.mean(y), None
+                y = fn(x + c.astype(x.dtype), k, b)
+                return jnp.mean(y.astype(jnp.float32)), None
         else:  # fwd+bwd wrt x and k (the training cost)
             def vloss(args):
                 xx, kk = args
-                return jnp.sum(fn(xx, kk, b) ** 2) * 1e-6
+                return (jnp.sum(fn(xx, kk, b).astype(jnp.float32) ** 2)
+                        * 1e-6)
             def step(c, _):
-                g = jax.grad(vloss)((x + c, k))
-                return jnp.mean(g[0]) + jnp.mean(g[1]), None
+                g = jax.grad(vloss)((x + c.astype(x.dtype), k))
+                return (jnp.mean(g[0].astype(jnp.float32))
+                        + jnp.mean(g[1].astype(jnp.float32))), None
         @jax.jit
         def run(x, k, b):
             out, _ = lax.scan(step, jnp.float32(0), None, length=N)
