@@ -124,7 +124,10 @@ class AttentionBlock(nn.Module):
         q = q.reshape(B, H * W, num_heads, head_dim)
         k = k.reshape(B, H * W, num_heads, head_dim)
         v = v.reshape(B, H * W, num_heads, head_dim)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+        # weakly-typed scale: a strongly-f32 scalar would promote the whole
+        # stream to f32 for the rest of the network, silently undoing
+        # bf16-compute mode downstream (softmax below still runs f32)
+        scale = float(head_dim) ** -0.5
         scores = jnp.einsum("bihc,bjhc->bhij", q, k) * scale
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
         h = jnp.einsum("bhij,bjhc->bihc", probs, v).reshape(B, H * W, C)

@@ -61,7 +61,11 @@ def subpixel_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     B, H, W, _ = x.shape
     co = kernel.shape[3]
     kp = pack_upsample_kernel(kernel)
-    s = lax.conv_general_dilated(x, kp, (1, 1), ((1, 1), (1, 1)),
+    # nn.Conv promotes mixed input/param dtypes (dtype=None semantics);
+    # match it so bf16-compute training (vae_compute_dtype) just works.
+    dt = jnp.result_type(x.dtype, kp.dtype)
+    s = lax.conv_general_dilated(x.astype(dt), kp.astype(dt), (1, 1),
+                                 ((1, 1), (1, 1)),
                                  dimension_numbers=_DN)  # (B, H+1, W+1, 4Co)
     # phase (a,b)'s 2x2 window is anchored at (i-1+a, j-1+b): group g=2a+b
     # lives at spatial offset (a, b) of the padded conv output.
