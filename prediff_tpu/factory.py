@@ -90,7 +90,7 @@ def build_vae(cfg: ConfigDict) -> AutoencoderKL:
         layers_per_block=v.layers_per_block,
         latent_channels=v.latent_channels,
         norm_num_groups=v.norm_num_groups,
-        decoder_subpixel=v.get("decoder_subpixel", False),
+        decoder_subpixel=v.get("decoder_subpixel", "auto"),
     )
 
 
