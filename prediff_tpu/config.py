@@ -125,8 +125,9 @@ def optim_default() -> Dict:
         #     (per-step arithmetic stays f32 — optim._scale_by_adam_state_dtype)
         #   ema_dtype: 'bfloat16' stores the EMA shadow in bf16
         #     (ema_update computes f32, rounds only the store)
-        # Accuracy + speed A/B: scripts/probes/bf16_state_ab.py; defaults
-        # off until the COVERAGE entry records the numbers.
+        # Accuracy + speed A/B: scripts/probes/bf16_state_ab.py (measured:
+        # +1.0% step, same loss plateau — COVERAGE round-5 item 10).
+        # Defaults stay None = f32: reference semantics out of the box.
         state_dtype=None,
         ema_dtype=None,
         # vae_compute_dtype (VAE-GAN training only): 'bfloat16' runs the
