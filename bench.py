@@ -7,10 +7,52 @@ Baseline target (BASELINE.md): >= 50 denoise steps/sec/chip.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _wait_for_tpu(total_budget_s=900.0, sleep_s=30.0):
+    """Block until the axon TPU relay initializes, or the budget runs out.
+
+    The relay occasionally drops for minutes at a time (observed 2026-08-20:
+    libtpu init failed with TPU_ACCELERATOR_TYPE/TPU_WORKER_HOSTNAMES errors
+    and jax silently fell back to CPU, recording 0.13 steps/s as the
+    headline).  Backend selection is sticky per-process, so probe in a
+    subprocess and only import jax here once a probe sees a TPU.
+
+    Returns True if a TPU backend is available, False if the budget expired.
+    """
+    total_budget_s = float(os.environ.get("BENCH_TPU_WAIT_S", total_budget_s))
+    probe = (
+        "import jax, sys; "
+        "sys.exit(0 if jax.default_backend() == 'tpu' else 1)"
+    )
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=300,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(
+            f"bench: TPU backend unavailable (probe attempt {attempt}); "
+            f"retrying for another {remaining:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(min(sleep_s, max(remaining, 1.0)))
 
 # Structural fingerprint of the compiled v1 sampler: pallas_call count per
 # kernel name in the traced jaxpr, with per-call-site MULTIPLICITY (shared
@@ -29,6 +71,15 @@ EXPECTED_PALLAS_COUNTS = {
 
 
 def main():
+    have_tpu = _wait_for_tpu()
+    if not have_tpu:
+        print(
+            "bench: TPU relay still down after the wait budget; running on "
+            "the fallback backend — the reported number is NOT a TPU "
+            "measurement.",
+            file=sys.stderr,
+        )
+
     import jax
     import jax.numpy as jnp
     from prediff_tpu.config import prediff_default_config
@@ -84,10 +135,13 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     steps_per_sec = n_steps / dt
+    unit = "steps/s/chip (v1 UNet, B=1, 6x16x16x64 latent, incl. VAE enc+dec)"
+    if jax.default_backend() != "tpu":
+        unit += " [NON-TPU FALLBACK: relay was down; not a TPU measurement]"
     result = {
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
-        "unit": "steps/s/chip (v1 UNet, B=1, 6x16x16x64 latent, incl. VAE enc+dec)",
+        "unit": unit,
         "vs_baseline": round(steps_per_sec / 50.0, 3),
     }
     print(json.dumps(result))
